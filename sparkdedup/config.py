@@ -1,0 +1,166 @@
+"""DedupConfig — the engine's "query language".
+
+difPy's query surface is its keyword parameters (reference
+`/root/reference/difPy/dif.py:28,254`, validators at `dif.py:807-944`);
+this dataclass mirrors them one-to-one (SURVEY.md §2.1) with the same
+constraints and, where meaningful, the same error messages, re-expressed
+for a table-of-source-files input instead of a directory of images:
+
+=================  =======================================================
+difPy param        sparkdedup field
+=================  =======================================================
+directory          ``tables`` (list of table names / parquet paths)
+recursive          ``recursive`` (path-prefix filtering on/off)
+in_folder          ``in_folder`` (scope every shuffle by ``repo``)
+limit_extensions   ``limit_extensions`` (lang/extension allowlist, O3)
+px_size            ``num_perm`` + ``shingle_k`` (signature resolution)
+similarity         ``similarity`` ('duplicates' | 'similar' | float)
+rotate             ``containment`` (suffix-array substring stage on/off)
+same_dim           ``same_dim`` (len_bucket folded into LSH band key)
+processes          ``processes`` (shuffle partitions / parallelism)
+chunksize          ``chunksize`` (Arrow max records per batch)
+=================  =======================================================
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from dataclasses import dataclass, field, fields
+
+#: Extension → language allowlist (difPy's 60-entry image-extension
+#: allowlist, dif.py:163, re-targeted at source code / text).
+LANG_EXTS: dict[str, str] = {
+    "py": "python", "pyi": "python",
+    "java": "java",
+    "c": "c", "h": "c", "cc": "cpp", "cpp": "cpp", "hpp": "cpp",
+    "go": "go", "rs": "rust", "rb": "ruby", "php": "php",
+    "js": "javascript", "jsx": "javascript", "ts": "typescript", "tsx": "typescript",
+    "cs": "csharp", "scala": "scala", "kt": "kotlin", "swift": "swift",
+    "sh": "shell", "bash": "shell", "zsh": "shell",
+    "sql": "sql", "r": "r", "jl": "julia", "lua": "lua", "pl": "perl",
+    "html": "html", "css": "css", "xml": "xml",
+    "json": "json", "yaml": "yaml", "yml": "yaml", "toml": "toml",
+    "md": "markdown", "rst": "markdown", "txt": "text", "text": "text",
+    "cfg": "text", "ini": "text", "csv": "text", "tsv": "text",
+}
+
+#: Languages considered valid when filtering on the ``lang`` column.
+ALLOWED_LANGS: tuple[str, ...] = tuple(sorted(set(LANG_EXTS.values())))
+
+SIMILARITY_DUPLICATES = 0.0   # difPy 'duplicates' -> MSE 0 (dif.py:869-871)
+SIMILARITY_SIMILAR = 0.30     # difPy 'similar' -> MSE 5 (dif.py:872-874);
+                              # here: max (1 - estimated Jaccard) to match.
+
+
+@dataclass
+class DedupConfig:
+    """Validated engine configuration (difPy O22, dif.py:807-944)."""
+
+    # --- source (difPy `directory`, dif.py:811-834) ---
+    tables: tuple[str, ...] = ()
+    recursive: bool = True
+    in_folder: bool = False
+    limit_extensions: bool = False
+
+    # --- signatures (difPy `px_size`, dif.py:876-882) ---
+    shingle_k: int = 7            # char k-gram width
+    num_perm: int = 128           # MinHash lanes
+    seed: int = 42                # permutation seed (deterministic)
+
+    # --- matching (difPy `similarity` / `rotate` / `same_dim`) ---
+    similarity: object = "duplicates"
+    containment: bool = False     # difPy `rotate` analogue (dif.py:697-713)
+    same_dim: bool = False        # len_bucket in band key (dif.py:719-724)
+
+    # --- LSH ---
+    num_bands: int = 32           # num_perm must divide evenly
+    band_pair_cap: int = 64       # buckets above this emit star edges only
+    simhash_ham_max: int = 16     # cheap pre-verify cut on 64-bit SimHash
+
+    # --- execution (difPy `processes` / `chunksize`, dif.py:902-919) ---
+    processes: int | None = None
+    chunksize: int | None = None
+
+    # --- containment stage ---
+    bottom_t: int = 16            # bottom-t shingle sketch for the index
+    probe_s: int = 4              # probe with the s smallest shingles
+    min_contain_chars: int = 64   # ignore tiny files for containment
+
+    # --- resume ---
+    work_dir: str | None = None   # checkpoint/lineage root (None = off)
+    num_ingest_buckets: int = 16  # per-partition resume granularity
+
+    # derived, set by validation
+    threshold: float = field(init=False, default=0.0)
+
+    def __post_init__(self) -> None:
+        self.threshold = self._validate_similarity(self.similarity)
+        for name in ("recursive", "in_folder", "limit_extensions",
+                     "containment", "same_dim"):
+            if not isinstance(getattr(self, name), bool):
+                raise Exception(
+                    f'Invalid value for "{name}" parameter: must be of type BOOL.')
+        if not isinstance(self.shingle_k, int) or not isinstance(self.num_perm, int):
+            raise Exception('Invalid value for "px_size" parameter: must be of type INT.')
+        # difPy px_size bounds 10..5000 (dif.py:876-882) -> signature bounds.
+        if not (2 <= self.shingle_k <= 64):
+            raise Exception('Invalid value for "shingle_k" parameter: must be between 2 and 64.')
+        if not (8 <= self.num_perm <= 4096):
+            raise Exception('Invalid value for "num_perm" parameter: must be between 8 and 4096.')
+        if self.num_perm % self.num_bands != 0:
+            raise Exception('Invalid value for "num_bands" parameter: must divide num_perm.')
+        if self.processes is not None:
+            if not isinstance(self.processes, int):
+                raise Exception('Invalid value for "processes" parameter: must be of type INT.')
+            if self.processes < 1:
+                raise Exception('Invalid value for "processes" parameter: must be >= 1.')
+            if self.processes > (os.cpu_count() or 1) * 8:
+                raise Exception(
+                    'Invalid value for "processes" parameter: must be <= the '
+                    'number of CPU cores (os.cpu_count()).')
+        if self.chunksize is not None:
+            if not isinstance(self.chunksize, int):
+                raise Exception('Invalid value for "chunksize" parameter: must be of type INT or None.')
+            if self.chunksize < 1:
+                raise Exception('Invalid value for "chunksize" parameter: must be >= 1.')
+        if len(self.tables) != len(set(self.tables)):
+            raise ValueError(
+                'Invalid directory parameters: invalid attempt to compare a '
+                'directory with itself.')
+
+    @staticmethod
+    def _validate_similarity(similarity: object) -> float:
+        """difPy similarity mapping (dif.py:854-874), distances in
+        (1 - estimated Jaccard) space instead of MSE."""
+        if similarity in ("low", "normal", "high"):
+            raise Exception(
+                'Since difPy v3.0.8, "similarity" parameter only accepts '
+                '"duplicates" and "similar" as input options.')
+        if similarity == "duplicates":
+            return SIMILARITY_DUPLICATES
+        if similarity == "similar":
+            return SIMILARITY_SIMILAR
+        try:
+            val = float(similarity)  # type: ignore[arg-type]
+        except (TypeError, ValueError):
+            raise Exception(
+                'Invalid value for "similarity" parameter: must be '
+                '"duplicates", "similar" or of type INT or FLOAT.')
+        if val < 0:
+            raise Exception('Invalid value for "similarity" parameter: must be >= 0.')
+        return val
+
+    @property
+    def rows_per_band(self) -> int:
+        return self.num_perm // self.num_bands
+
+    def params_hash(self) -> str:
+        """Stable hash of all semantic parameters; keys stage lineage so a
+        resume with changed params recomputes (SURVEY.md §4 item 3)."""
+        d = {f.name: getattr(self, f.name) for f in fields(self)
+             if f.name not in ("work_dir", "processes", "chunksize")}
+        d["tables"] = list(d["tables"])
+        return hashlib.sha256(json.dumps(d, sort_keys=True, default=str)
+                              .encode()).hexdigest()[:16]

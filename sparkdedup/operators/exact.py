@@ -1,0 +1,46 @@
+"""Exact-duplicate detection via sha256 grouping (difPy O9).
+
+Reference behavior: difPy short-circuits a pair to MSE 0 when tensors are
+element-equal (`/root/reference/difPy/dif.py:726-731`, callers
+`dif.py:445-446,456-457`); its >5k batch path even accepts tensor-SUM
+equality (`dif.py:483-495`) which can false-positive — a quirk we do NOT
+replicate (SURVEY.md §2.2). Here exactness is ``sha256(content)``
+equality: collision-free in practice, exact by construction, and a single
+hash-partitioned window instead of O(n^2) comparisons.
+
+Edges are emitted as a STAR to the group's min ``file_id`` — linear in
+group size (a 10^4-member boilerplate group yields 10^4-1 edges, not
+~5*10^7) while preserving exactly the same connected components.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sparkdedup.config import DedupConfig
+
+
+def exact_edges(sigs: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """sha256 groups -> star edges ``(src, dst, dist=0.0, kind='exact')``.
+
+    ``sigs`` needs (file_id, sha256[, repo]). ``in_folder=True`` scopes
+    groups by ``repo`` (difPy in_folder, dif.py:101-126) — note the
+    reference LEAKS cross-folder comparisons on its >5k path
+    (dif.py:378, SURVEY.md §2.2); we scope correctly at any size.
+    One shuffle on the group key; no join.
+    """
+    keys = ["sha256"] + (["repo"] if cfg.in_folder else [])
+    w = Window.partitionBy(*keys)
+    return (
+        sigs
+        .withColumn("_root", F.min("file_id").over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(w))
+        .filter((F.col("_n") > 1) & (F.col("file_id") != F.col("_root")))
+        .select(
+            F.col("_root").alias("src"),
+            F.col("file_id").alias("dst"),
+            F.lit(0.0).alias("dist"),
+            F.lit("exact").alias("kind"),
+        )
+    )

@@ -1,0 +1,110 @@
+"""LSH banding candidate generation (difPy O6/O7/O8) — never O(n^2).
+
+Reference behavior being replaced: difPy materializes ALL pairs —
+``itertools.combinations`` under 5k files
+(`/root/reference/difPy/dif.py:321-332`) and a chunked per-anchor
+generator above (`dif.py:516-531`, with the off-by-one at :529 that
+drops pairs with the max id — not replicated). That is the O(n^2) wall
+BASELINE.json licenses us to knock down: MinHash signatures are split
+into ``num_bands`` bands of ``rows_per_band`` lanes; two files collide in
+a band iff those lanes agree, so candidate generation is a hash-
+partitioned groupBy, linear in files x bands.
+
+The ``same_dim`` pre-filter (dif.py:719-724) and ``in_folder`` scope
+(dif.py:101-126) are folded INTO the band key (len_bucket / repo), so
+cross-bucket pairs are never generated at all — stronger than difPy's
+post-filter (SURVEY.md §4).
+
+Skew (SURVEY.md §4 item 1): a band bucket of B files implies B(B-1)/2
+pairs. Buckets larger than ``band_pair_cap`` emit a STAR to the bucket's
+min file_id instead — linear, keeps the component connected — and are
+marked ``gen='star'`` so stats can report capped buckets (no silent
+caps). Everything carries only (file_id, simhash) through the shuffle;
+full MinHash arrays are joined back just once, for surviving pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sparkdedup.config import DedupConfig
+
+
+def band_hashes(cfg: DedupConfig) -> F.Column:
+    """array<bigint> of per-band xxhash64 over minhash lane slices —
+    JVM-side (no Python) via transform+slice+xxhash64."""
+    r = cfg.rows_per_band
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(cfg.num_bands - 1)),
+        lambda i: F.xxhash64(F.slice(F.col("minhash"), i * r + 1, r), i),
+    )
+
+
+def explode_bands(sigs: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """(file_id, simhash[, scope cols]) x num_bands band rows."""
+    cols = [F.col("file_id"), F.col("simhash"),
+            F.posexplode(band_hashes(cfg)).alias("band_id", "band_hash")]
+    out = sigs.select(*cols,
+                      *( [F.col("len_bucket")] if cfg.same_dim else [] ),
+                      *( [F.col("repo")] if cfg.in_folder else [] ))
+    return out
+
+
+def _band_keys(cfg: DedupConfig) -> list[str]:
+    keys = ["band_id", "band_hash"]
+    if cfg.same_dim:
+        keys.append("len_bucket")
+    if cfg.in_folder:
+        keys.append("repo")
+    return keys
+
+
+def candidate_pairs(sigs: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Candidate edges ``(src, dst, simhash_src, simhash_dst, gen)``.
+
+    One shuffle keys the band groupBy (window over the band key), an
+    equi-join on the same key produces within-bucket pairs for small
+    buckets (AQE handles residual imbalance), capped buckets take the
+    star path. SimHash rides along so verification's Hamming pre-cut
+    runs BEFORE any join back to the (wide) signature table.
+    """
+    keys = _band_keys(cfg)
+    w = Window.partitionBy(*keys)
+    bands = (explode_bands(sigs, cfg)
+             .withColumn("_n", F.count(F.lit(1)).over(w))
+             .withColumn("_root", F.min(F.struct("file_id", "simhash")).over(w))
+             .filter(F.col("_n") > 1))
+
+    small = bands.filter(F.col("_n") <= cfg.band_pair_cap)
+    a, b = small.alias("a"), small.alias("b")
+    join_cond = [F.col(f"a.{k}") == F.col(f"b.{k}") for k in keys]
+    join_cond.append(F.col("a.file_id") < F.col("b.file_id"))
+    pairs_small = a.join(b, join_cond).select(
+        F.col("a.file_id").alias("src"),
+        F.col("b.file_id").alias("dst"),
+        F.col("a.simhash").alias("simhash_src"),
+        F.col("b.simhash").alias("simhash_dst"),
+        F.lit("allpairs").alias("gen"),
+    )
+
+    big = bands.filter(F.col("_n") > cfg.band_pair_cap)
+    pairs_star = (big.filter(F.col("file_id") != F.col("_root.file_id"))
+                  .select(
+                      F.col("_root.file_id").alias("src"),
+                      F.col("file_id").alias("dst"),
+                      F.col("_root.simhash").alias("simhash_src"),
+                      F.col("simhash").alias("simhash_dst"),
+                      F.lit("star").alias("gen"),
+                  ))
+    return pairs_small.unionByName(pairs_star)
+
+
+def dedup_pairs(pairs: DataFrame) -> DataFrame:
+    """Cross-band dedup: a pair co-bucketing in many bands survives once.
+    'allpairs' wins over 'star' so stats stay meaningful."""
+    return pairs.groupBy("src", "dst").agg(
+        F.first("simhash_src").alias("simhash_src"),
+        F.first("simhash_dst").alias("simhash_dst"),
+        F.min("gen").alias("gen"),
+    )

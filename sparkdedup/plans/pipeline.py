@@ -1,0 +1,219 @@
+"""End-to-end pipelines mirroring difPy's two entry points (SURVEY.md §3).
+
+``build_signatures``  ≙ ``difPy.build(...)``
+(`/root/reference/difPy/dif.py:28-94`): scan -> validate/split ->
+identity + sha256 + length cols -> MinHash/SimHash featurize. The
+returned signature DataFrame is the reusable "build artifact" (difPy's
+dif object of six dicts, dif.py:61; decode-once-search-many per
+docs/getting_started/basic_usage.rst:16-21).
+
+``search_clusters``  ≙ ``difPy.search(dif, ...)``
+(`dif.py:254-314`): exact edges (sha256 groups) ∪ near edges (LSH ->
+Hamming -> Jaccard-threshold) ∪ containment edges (suffix-array stage)
+-> connected components -> rank representatives -> result / lower_quality
+/ stats / actions.
+
+Scale notes: the near-dup stage runs on ONE representative per sha256
+group (`_distinct_reps`), so a 10^4-copy boilerplate file is a single
+LSH node — exact-dup skew never reaches the band shuffle. All stats are
+computed in ONE job over the edge set; result-dict materialization
+(difPy-shaped) is test-scale only and says so.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sparkdedup.config import DedupConfig
+from sparkdedup.functions.hashing import (with_file_id, with_length_cols,
+                                          with_sha256)
+from sparkdedup.functions.shingles import with_signature
+from sparkdedup.operators.components import connected_components
+from sparkdedup.operators.containment import containment_edges
+from sparkdedup.operators.exact import exact_edges
+from sparkdedup.operators.lsh import candidate_pairs, dedup_pairs
+from sparkdedup.operators.ranking import lower_quality, rank_clusters
+from sparkdedup.operators.verify import hamming_filter, jaccard_edges
+from sparkdedup.sources.files import read_files, split_invalid
+
+SIGNATURE_COLS = [
+    "file_id", "repo", "path", "commit", "lang", "content", "sha256",
+    "n_chars", "n_lines", "len_bucket", "minhash", "simhash",
+    "n_shingles", "bottom_sketch",
+]
+
+
+def build_signatures(spark: SparkSession, cfg: DedupConfig,
+                     files: DataFrame | None = None
+                     ) -> tuple[DataFrame, DataFrame]:
+    """difPy build stage: returns ``(signatures, invalid_files)``."""
+    if files is None:
+        files = read_files(spark, cfg)
+    valid, invalid = split_invalid(files, cfg)
+    sigs = with_signature(
+        with_length_cols(with_sha256(with_file_id(valid))), cfg)
+    return sigs.select(*SIGNATURE_COLS), invalid
+
+
+def _distinct_reps(sigs: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """One representative row per sha256 group (scoped by repo when
+    in_folder) — collapses exact-dup mass before the LSH shuffle."""
+    keys = ["sha256"] + (["repo"] if cfg.in_folder else [])
+    w = Window.partitionBy(*keys)
+    return (sigs
+            .withColumn("_root", F.min("file_id").over(w))
+            .filter(F.col("file_id") == F.col("_root"))
+            .drop("_root"))
+
+
+@dataclass
+class SearchResult:
+    """difPy ``search`` output surface (dif.py:290: .result,
+    .lower_quality, .stats) as DataFrames + builders."""
+
+    cfg: DedupConfig
+    edges: DataFrame          # (src, dst, dist, kind)
+    clusters: DataFrame       # (file_id, cluster_id)
+    ranked: DataFrame         # (cluster_id, file_id, repo, path, n_chars, rn, is_keep)
+    invalid: DataFrame        # (repo, path, commit, reason)
+    _timings: dict = field(default_factory=dict)
+
+    @property
+    def lower_quality_df(self) -> DataFrame:
+        return lower_quality(self.ranked)
+
+    def result(self, max_rows: int = 100_000) -> dict:
+        """difPy-shaped dict {primary_path: [[match_path, dist], ...]}
+        (O15, dif.py:400-430,533-562). COLLECTS — test scale only.
+        ``in_folder`` nests one level under the repo, mirroring
+        dif.py:545-562."""
+        ranked = self.ranked.limit(max_rows + 1).collect()
+        if len(ranked) > max_rows:
+            raise ValueError(
+                f"result(): more than {max_rows} matched files; "
+                "read .ranked / .clusters DataFrames instead")
+        dists = {(r["src"], r["dst"]): r["dist"]
+                 for r in self.edges.collect()}
+        by_cluster: dict = {}
+        for r in sorted(ranked, key=lambda r: r["rn"]):
+            by_cluster.setdefault(r["cluster_id"], []).append(r)
+        out: dict = {}
+        for members in by_cluster.values():
+            primary = members[0]
+            matches = []
+            for m in members[1:]:
+                d = dists.get((primary["file_id"], m["file_id"]),
+                              dists.get((m["file_id"], primary["file_id"]),
+                                        None))
+                matches.append([m["path"],
+                                float(d) if d is not None else None])
+            if self.cfg.in_folder:
+                out.setdefault(primary["repo"], {})[primary["path"]] = matches
+            else:
+                out[primary["path"]] = matches
+        return out
+
+    def stats(self) -> dict:
+        """difPy-shaped stats document (O18, dif.py:744-805;
+        docs/getting_started/output.rst:74-104) — one aggregation job."""
+        agg = self.edges.groupBy("kind", "gen" if "gen" in
+                                 self.edges.columns else F.lit("-")).count()
+        edge_rows = [r.asDict() for r in agg.collect()]
+        n_matched = self.clusters.count()
+        n_clusters = self.clusters.select("cluster_id").distinct().count()
+        n_invalid = self.invalid.count()
+        dup = sum(r["count"] for r in edge_rows if r["kind"] == "exact")
+        near = sum(r["count"] for r in edge_rows if r["kind"] == "near")
+        contained = sum(r["count"] for r in edge_rows
+                        if r["kind"] == "contained")
+        capped = sum(r["count"] for r in edge_rows
+                     if r.get("gen") == "star")
+        return {
+            "process": {
+                "search": {
+                    "parameters": {
+                        "similarity_mse": self.cfg.threshold,
+                        "shingle_k": self.cfg.shingle_k,
+                        "num_perm": self.cfg.num_perm,
+                        "num_bands": self.cfg.num_bands,
+                        "containment": self.cfg.containment,
+                        "same_dim": self.cfg.same_dim,
+                        "in_folder": self.cfg.in_folder,
+                    },
+                    "timings_sec": self._timings,
+                },
+            },
+            "invalid_files": {"count": n_invalid},
+            "results": {
+                "matched_files": n_matched,
+                "clusters": n_clusters,
+                "duplicate_pairs": dup,
+                "similar_pairs": near,
+                "contained_pairs": contained,
+                "capped_star_pairs": capped,
+            },
+        }
+
+    def stats_json(self) -> str:
+        return json.dumps(self.stats(), indent=2, sort_keys=True)
+
+    def actions(self, action: str = "delete",
+                destination: str | None = None) -> DataFrame:
+        """difPy move_to/delete sinks (O20/O21, dif.py:635-691) as DATA:
+        an actions table, not filesystem mutation."""
+        lq = self.lower_quality_df
+        return lq.select(
+            "file_id", "repo", "path",
+            F.lit(action).alias("action"),
+            F.lit(destination).cast("string").alias("destination"),
+        )
+
+
+def search_clusters(sigs: DataFrame, invalid: DataFrame,
+                    cfg: DedupConfig) -> SearchResult:
+    """difPy search stage over a signature DataFrame."""
+    timings: dict[str, float] = {}
+    t0 = time.monotonic()
+
+    edges = exact_edges(sigs, cfg).withColumn("gen", F.lit("exact"))
+
+    if cfg.threshold > 0:
+        reps = _distinct_reps(sigs, cfg)
+        near = jaccard_edges(
+            hamming_filter(dedup_pairs(candidate_pairs(reps, cfg)), cfg),
+            reps, cfg)
+        edges = edges.unionByName(near)
+
+    if cfg.containment:
+        reps_c = _distinct_reps(sigs, cfg) if cfg.threshold > 0 else sigs
+        cont = containment_edges(reps_c, cfg).withColumn("gen",
+                                                         F.lit("contain"))
+        edges = edges.unionByName(cont)
+
+    edges = edges.groupBy("src", "dst").agg(
+        F.min("dist").alias("dist"),
+        F.min_by("kind", "dist").alias("kind"),
+        F.min("gen").alias("gen"),
+    )
+    timings["plan_edges"] = time.monotonic() - t0
+
+    t1 = time.monotonic()
+    clusters = connected_components(edges)
+    timings["connected_components"] = time.monotonic() - t1
+
+    ranked = rank_clusters(clusters,
+                           sigs.select("file_id", "repo", "path", "n_chars"))
+    return SearchResult(cfg=cfg, edges=edges, clusters=clusters,
+                        ranked=ranked, invalid=invalid, _timings=timings)
+
+
+def run(spark: SparkSession, cfg: DedupConfig,
+        files: DataFrame | None = None) -> SearchResult:
+    """build + search in one call (difPy CLI flow, dif.py:1014-1015)."""
+    sigs, invalid = build_signatures(spark, cfg, files)
+    return search_clusters(sigs, invalid, cfg)

@@ -1,0 +1,60 @@
+"""SparkSession factory tuned for the dedup workload.
+
+Reference analogue: difPy's multiprocessing setup
+(`/root/reference/difPy/dif.py:19-22,59,286,902-910`) — worker-pool
+size becomes Spark parallelism; everything else (Arrow, AQE) is the
+Spark-native replacement for difPy's hand-rolled chunking.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "sparkdedup",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (driver env) or
+    ``local[*]``. On a real cluster, pass ``master=None`` and let
+    spark-submit own it; these confs are all cluster-safe.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 8)
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # AQE: runtime coalescing + skew-join splitting (difPy's adaptive
+        # 5000-file algorithm cutover, dif.py:321,334, done by the engine).
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow for every pandas UDF / mapInPandas crossing.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        # Broadcast small dims automatically; 64MB is safe at 128GiB heap.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Stable timestamps/parquet behaviour for oracle comparison.
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.ui.enabled", os.environ.get("SPARKDEDUP_UI", "false"))
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", os.environ.get("SPARKDEDUP_DRIVER_MEM", "8g"))
+    )
+    if master:
+        b = b.master(master)
+    if extra_conf:
+        for k, v in extra_conf.items():
+            b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
