@@ -143,10 +143,10 @@ def _row(i: int, n: int, seed: int,
         if member == 0:
             content = "\n".join(base)
         elif member == 1:
-            content = "\n".join(_mutate(base, seed, group, 1, 0.14))
+            content = "\n".join(_mutate(base, seed, group, 1, 0.22))
         else:  # C = B further mutated; A~B, B~C, A !~ C
-            b = _mutate(base, seed, group, 1, 0.14)
-            content = "\n".join(_mutate(b, seed, group, 2, 0.14))
+            b = _mutate(base, seed, group, 1, 0.22)
+            content = "\n".join(_mutate(b, seed, group, 2, 0.22))
     elif kind == "skew":
         group, member = 5_000_000, off
         content = "\n".join(_base_text(seed, group, n_lines=10))

@@ -65,13 +65,20 @@ def split_invalid(files: DataFrame, cfg: DedupConfig
     ``(repo, path, commit, reason)``. Single projection + two filters —
     Catalyst collapses the reason expression; no shuffle here.
     """
-    reason = F.when(
-        F.col("content").isNull() | (F.length("content") == 0),
-        F.lit(REASON_NULL))
+    # extension filter (O3) runs BEFORE the decode check (O4), as in the
+    # reference (dif.py:161-173 precedes _generate_tensor)
+    reason = F.lit(None).cast("string")
     if cfg.limit_extensions:
         allowed = sorted(LANG_EXTS.keys())
-        reason = reason.when(~_ext_col().isin(allowed),
-                             F.lit(REASON_UNSUPPORTED))
+        reason = F.when(~_ext_col().isin(allowed), F.lit(REASON_UNSUPPORTED))
+    reason = F.coalesce(
+        reason,
+        F.when(
+            F.col("content").isNull() | (F.length("content") == 0)
+            # NUL byte => binary blob, the difPy decode-failure analogue
+            # (dif.py:243-248: unreadable image -> invalid side output)
+            | F.col("content").contains("\u0000"),
+            F.lit(REASON_NULL)))
     tagged = files.withColumn("_reason", reason)
     valid = tagged.filter(F.col("_reason").isNull()).drop("_reason")
     invalid = (tagged.filter(F.col("_reason").isNotNull())

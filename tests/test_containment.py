@@ -1,0 +1,72 @@
+"""Suffix-array containment stage (difPy `rotate` analogue, O10)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sparkdedup.config import DedupConfig
+from sparkdedup.functions.hashing import with_file_id, with_length_cols, with_sha256
+from sparkdedup.functions.shingles import with_signature
+from sparkdedup.operators.containment import (build_suffix_array,
+                                              containment_edges, sa_contains)
+
+SCHEMA = ("repo string, path string, commit string, lang string, "
+          "content string")
+
+
+def test_suffix_array_sorted_suffixes():
+    s = b"banana"
+    sa = build_suffix_array(s).tolist()
+    suffixes = sorted(range(len(s)), key=lambda i: s[i:])
+    assert sa == suffixes
+
+
+def test_sa_contains_basic():
+    s = b"the quick brown fox jumps over the lazy dog"
+    sa = build_suffix_array(s)
+    assert sa_contains(s, sa, b"quick brown")
+    assert sa_contains(s, sa, b"dog")
+    assert sa_contains(s, sa, b"the")
+    assert not sa_contains(s, sa, b"cat")
+    assert not sa_contains(s, sa, b"dogx")
+    assert not sa_contains(s, sa, s + b"!")
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=120), st.binary(min_size=1, max_size=20))
+def test_sa_contains_equals_python_in(text, pat):
+    sa = build_suffix_array(text)
+    assert sa_contains(text, sa, pat) == (pat in text and len(pat) > 0)
+
+
+def test_containment_edges_end_to_end(spark):
+    cfg = DedupConfig(containment=True, min_contain_chars=32)
+    inner = "def contained_function(arg): return arg * 3 + 1\n" * 4
+    outer = ("# header comment here\n" + inner + "# trailing code\n"
+             + "def other(): pass\n" * 6)
+    rows = [("r", "small.py", "c", "python", inner),
+            ("r", "big.py", "c", "python", outer),
+            ("r", "noise.py", "c", "python", "unrelated content " * 30)]
+    sigs = with_signature(
+        with_length_cols(with_sha256(with_file_id(
+            spark.createDataFrame(rows, SCHEMA)))), cfg)
+    edges = containment_edges(sigs, cfg).collect()
+    assert len(edges) == 1
+    e = edges[0]
+    assert e["kind"] == "contained"
+    assert 0.0 < e["dist"] < 1.0
+    # src is the container (bigger), dst the contained
+    ids = {r["path"]: r["file_id"] for r in sigs.select("path", "file_id").collect()}
+    assert e["src"] == ids["big.py"] and e["dst"] == ids["small.py"]
+
+
+def test_containment_respects_min_chars(spark):
+    cfg = DedupConfig(containment=True, min_contain_chars=10_000)
+    inner = "short snippet of code\n" * 3
+    rows = [("r", "s.py", "c", "python", inner),
+            ("r", "b.py", "c", "python", "pad\n" + inner + "pad\n")]
+    sigs = with_signature(
+        with_length_cols(with_sha256(with_file_id(
+            spark.createDataFrame(rows, SCHEMA)))), cfg)
+    assert containment_edges(sigs, cfg).count() == 0

@@ -1,0 +1,140 @@
+"""Unit tests: exact edges, LSH banding, verification, ranking, sources."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkdedup.config import DedupConfig
+from sparkdedup.functions.hashing import with_file_id, with_length_cols, with_sha256
+from sparkdedup.functions.shingles import with_signature
+from sparkdedup.operators.exact import exact_edges
+from sparkdedup.operators.lsh import candidate_pairs, dedup_pairs
+from sparkdedup.operators.ranking import lower_quality, match_counts, rank_clusters
+from sparkdedup.operators.verify import hamming_filter, jaccard_edges
+from sparkdedup.sources.files import REASON_NULL, REASON_UNSUPPORTED, split_invalid
+
+SCHEMA = ("repo string, path string, commit string, lang string, "
+          "content string")
+
+
+def _files(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _sigs(spark, rows, cfg):
+    return with_signature(
+        with_length_cols(with_sha256(with_file_id(_files(spark, rows)))), cfg)
+
+
+def test_exact_edges_star_shape(spark):
+    cfg = DedupConfig()
+    rows = ([("r", f"a{i}", "c", "python", "same content") for i in range(4)]
+            + [("r", "u", "c", "python", "unique content")])
+    sigs = _sigs(spark, rows, cfg)
+    edges = exact_edges(sigs, cfg).collect()
+    assert len(edges) == 3  # star: n-1 edges, linear in group size
+    srcs = {e["src"] for e in edges}
+    assert len(srcs) == 1  # all point at the min file_id
+    assert all(e["dist"] == 0.0 and e["kind"] == "exact" for e in edges)
+
+
+def test_exact_edges_in_folder_scopes_by_repo(spark):
+    cfg = DedupConfig(in_folder=True)
+    rows = [("r1", "a", "c", "python", "same"),
+            ("r1", "b", "c", "python", "same"),
+            ("r2", "a", "c", "python", "same")]
+    edges = exact_edges(_sigs(spark, rows, cfg), cfg).collect()
+    assert len(edges) == 1  # r2's copy is out of scope
+
+
+def test_lsh_identical_docs_always_pair(spark):
+    cfg = DedupConfig(similarity="similar")
+    text = "def alpha(beta): return gamma + 17\n" * 8
+    rows = [("r", "x", "c", "python", text),
+            ("r", "y", "c", "python", text + " trailing tweak 42")]
+    sigs = _sigs(spark, rows, cfg)
+    pairs = dedup_pairs(candidate_pairs(sigs, cfg)).collect()
+    assert len(pairs) == 1
+    assert pairs[0]["src"] < pairs[0]["dst"]
+
+
+def test_lsh_band_cap_emits_star(spark):
+    cfg = DedupConfig(similarity="similar", band_pair_cap=3)
+    text = "shared boilerplate license text for everyone here\n" * 6
+    rows = [("r", f"f{i}", "c", "python", text + f" v{i}") for i in range(10)]
+    sigs = _sigs(spark, rows, cfg)
+    pairs = dedup_pairs(candidate_pairs(sigs, cfg)).collect()
+    gens = {p["gen"] for p in pairs}
+    assert "star" in gens
+    # star edges bounded linear: <= n-1 per band bucket, never ~n^2/2
+    assert len(pairs) < 45  # full clique would be 45
+
+
+def test_verify_threshold_and_hamming(spark):
+    cfg = DedupConfig(similarity="similar")
+    base = "def alpha(beta): return gamma + delta\n" * 10
+    rows = [("r", "a", "c", "python", base),
+            ("r", "b", "c", "python", base.replace("gamma", "gXmma", 3)),
+            ("r", "z", "c", "python", "completely different " * 20)]
+    sigs = _sigs(spark, rows, cfg)
+    pairs = dedup_pairs(candidate_pairs(sigs, cfg))
+    edges = jaccard_edges(hamming_filter(pairs, cfg), sigs, cfg).collect()
+    paths = {(e["src"], e["dst"]) for e in edges}
+    assert len(paths) >= 1
+    assert all(0.0 <= e["dist"] <= cfg.threshold for e in edges)
+
+
+def test_ranking_and_lower_quality(spark):
+    clusters = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100)], "file_id long, cluster_id long")
+    files = spark.createDataFrame(
+        [(1, "r", "b.py", 50), (2, "r", "a.py", 90), (3, "r", "c.py", 90)],
+        "file_id long, repo string, path string, n_chars long")
+    ranked = rank_clusters(clusters, files).collect()
+    by_id = {r["file_id"]: r for r in ranked}
+    # max n_chars wins; path asc tiebreak: a.py(90) beats c.py(90)
+    assert by_id[2]["rn"] == 1 and by_id[2]["is_keep"]
+    assert by_id[3]["rn"] == 2 and by_id[1]["rn"] == 3
+    lq = lower_quality(rank_clusters(clusters, files)).collect()
+    assert {r["file_id"] for r in lq} == {1, 3}
+
+
+def test_match_counts(spark):
+    edges = spark.createDataFrame(
+        [(1, 2, 0.0, "exact"), (1, 3, 0.1, "near"), (4, 5, 0.2, "near")],
+        "src long, dst long, dist double, kind string")
+    row = match_counts(edges).collect()[0]
+    assert row["duplicate_pairs"] == 1
+    assert row["similar_pairs"] == 2
+    assert row["total_pairs"] == 3
+
+
+def test_split_invalid_reasons(spark):
+    cfg = DedupConfig(limit_extensions=True)
+    rows = [("r", "ok.py", "c", "python", "print(1)"),
+            ("r", "null.py", "c", "python", None),
+            ("r", "empty.py", "c", "python", ""),
+            ("r", "bad.bin", "c", "binary", "\x00data")]
+    valid, invalid = split_invalid(_files(spark, rows), cfg)
+    assert {r["path"] for r in valid.collect()} == {"ok.py"}
+    inv = {r["path"]: r["reason"] for r in invalid.collect()}
+    assert inv == {"null.py": REASON_NULL, "empty.py": REASON_NULL,
+                   "bad.bin": REASON_UNSUPPORTED}
+
+
+def test_file_id_stable_and_distinct(spark):
+    rows = [("r", "a.py", "c1", "python", "x"),
+            ("r", "a.py", "c2", "python", "x")]
+    ids = [r["file_id"] for r in with_file_id(_files(spark, rows)).collect()]
+    assert len(set(ids)) == 2
+    ids2 = [r["file_id"] for r in with_file_id(_files(spark, rows)).collect()]
+    assert ids == ids2
+
+
+def test_len_bucket_same_dim_prefilter(spark):
+    cfg = DedupConfig(similarity="similar", same_dim=True)
+    short = "tiny text here padded a bit more"  # ~32 chars
+    long = short * 40  # different log2 bucket
+    rows = [("r", "s", "c", "python", short), ("r", "l", "c", "python", long)]
+    sigs = _sigs(spark, rows, cfg)
+    assert dedup_pairs(candidate_pairs(sigs, cfg)).count() == 0

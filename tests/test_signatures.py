@@ -1,0 +1,108 @@
+"""Unit tests for the shingle/MinHash/SimHash kernel (difPy O4)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sparkdedup.config import DedupConfig
+from sparkdedup.functions.shingles import (minhash_params, normalize_text,
+                                           shingle_hashes, signature_of,
+                                           with_signature)
+
+CFG = dict(k=7, num_perm=128, seed=42, bottom_t=16)
+
+
+def test_deterministic_across_calls():
+    mh1, s1, n1, b1 = signature_of("def foo(x): return x + 1", **CFG)
+    mh2, s2, n2, b2 = signature_of("def foo(x): return x + 1", **CFG)
+    assert np.array_equal(mh1, mh2) and s1 == s2 and n1 == n2
+    assert np.array_equal(b1, b2)
+
+
+def test_seed_changes_signature():
+    mh1, *_ = signature_of("some content here", **CFG)
+    mh2, *_ = signature_of("some content here", k=7, num_perm=128, seed=43,
+                           bottom_t=16)
+    assert not np.array_equal(mh1, mh2)
+
+
+def test_normalization_collapses_whitespace():
+    a = shingle_hashes("a  b\n\tc", 2)
+    b = shingle_hashes("a b c", 2)
+    assert np.array_equal(a, b)
+
+
+def test_short_and_empty_strings():
+    assert shingle_hashes("", 7).size == 0
+    one = shingle_hashes("ab", 7)
+    assert one.size == 1  # whole-string fallback shingle
+    mh, sim, n, bot = signature_of("", **CFG)
+    assert n == 0 and bot.size == 0 and mh.shape == (128,)
+
+
+def test_jaccard_estimate_tracks_true_jaccard():
+    rng = np.random.default_rng(0)
+    words = [f"w{i}" for i in range(200)]
+    base = " ".join(rng.choice(words, 150))
+    # mutate ~10% of words
+    toks = base.split()
+    idx = rng.choice(len(toks), size=15, replace=False)
+    for i in idx:
+        toks[i] = "zz" + toks[i]
+    other = " ".join(toks)
+    sa = set(shingle_hashes(base, 7).tolist())
+    sb = set(shingle_hashes(other, 7).tolist())
+    true_j = len(sa & sb) / len(sa | sb)
+    mha, *_ = signature_of(base, **CFG)
+    mhb, *_ = signature_of(other, **CFG)
+    est_j = (mha == mhb).mean()
+    assert abs(est_j - true_j) < 0.12  # 128 lanes -> stderr ~0.04
+
+
+def test_identical_content_identical_everything():
+    mha, sa, _, ba = signature_of("x = compute(value) + 42", **CFG)
+    mhb, sb, _, bb = signature_of("x = compute(value) + 42", **CFG)
+    assert np.array_equal(mha, mhb) and sa == sb and np.array_equal(ba, bb)
+
+
+def test_bottom_sketch_is_subset_for_contained_text():
+    small = "the quick brown fox jumps over the lazy dog " * 3
+    big = "prefix padding text here " + small + " suffix padding text"
+    hs = set(shingle_hashes(small, 7).tolist())
+    hb = set(shingle_hashes(big, 7).tolist())
+    assert hs <= hb  # containment => shingle subset (normalized)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.text(min_size=0, max_size=300))
+def test_signature_total_function(text):
+    mh, sim, n, bot = signature_of(text, **CFG)
+    assert mh.shape == (128,)
+    assert isinstance(sim, int)
+    assert bot.size <= 16
+
+
+def test_spark_udf_matches_kernel(spark):
+    rows = [("r", f"p{i}", "c", "python", f"def f_{i}(): return {i} " * 5)
+            for i in range(20)]
+    df = spark.createDataFrame(rows,
+                               "repo string, path string, commit string, "
+                               "lang string, content string")
+    cfg = DedupConfig()
+    out = {r["path"]: r for r in with_signature(df, cfg).collect()}
+    params = minhash_params(cfg.num_perm, cfg.seed)
+    for repo, path, commit, lang, content in rows:
+        mh, sim, n, bot = signature_of(content, cfg.shingle_k, cfg.num_perm,
+                                       cfg.seed, cfg.bottom_t, params)
+        got = out[path]
+        assert got["minhash"] == mh.tolist()
+        assert got["simhash"] == sim
+        assert got["n_shingles"] == n
+        assert got["bottom_sketch"] == bot.tolist()
+
+
+def test_normalize_text():
+    assert normalize_text("  a\t\nb   c ") == "a b c"
