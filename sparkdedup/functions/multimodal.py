@@ -1,0 +1,104 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Training-pipeline extension: image/audio/video payloads are carried as
+``binary`` columns with a typed metadata struct; decode / feature-
+extract / resize / frame-sample run as Arrow-batched ``mapInPandas``
+stages. The image/audio codecs are NOT present in this environment, so
+the decode kernels are STUBBED — ``decode_media`` raises
+``NotImplementedError`` unless ``fake=True`` selects the deterministic
+fake decoder — but the Spark-side plumbing (schema, partitioning, UDF
+signature, Arrow batch shape) is real and tested.
+
+This is also the honest home of difPy's actual domain: its decode stage
+(`/root/reference/difPy/dif.py:229-248`, PIL open -> RGB -> bicubic
+resize to px_size^2) maps to ``decode_media`` + ``media_features``; the
+rest of the engine (LSH, CC, ranking) is media-agnostic once features
+exist.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("kind", T.StringType(), False),       # image|audio|video
+    T.StructField("mime", T.StringType(), True),
+    T.StructField("payload", T.BinaryType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("duration_ms", T.LongType(), True),
+])
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("kind", T.StringType(), False),
+    T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    T.StructField("error", T.StringType(), True),
+])
+
+
+def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
+    """Deterministic fake 'decoder': payload bytes -> unit vector.
+    Stands in for PIL-open+resize (dif.py:236-241) where codecs are
+    unavailable; real deployments swap in the actual decoder here."""
+    digest = hashlib.sha256(payload).digest()
+    seed = int.from_bytes(digest[:8], "little")
+    vec = np.random.default_rng(seed).standard_normal(dim).astype(np.float32)
+    return vec / np.linalg.norm(vec)
+
+
+def media_features(media: DataFrame, dim: int = 32,
+                   fake: bool = True) -> DataFrame:
+    """Decode + featurize media rows via mapInPandas (Arrow batches).
+
+    ``fake=False`` requires real codecs (PIL/ffmpeg) — not available in
+    this environment — and deliberately raises ``NotImplementedError``
+    inside the task so the stub is impossible to mistake for a decoder.
+    Decode FAILURES (null payload) go to the ``error`` column, the
+    invalid-file side-output pattern (dif.py:243-248).
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = {"media_id": [], "kind": [], "feature": [], "error": []}
+            for mid, kind, payload in zip(b["media_id"], b["kind"],
+                                          b["payload"]):
+                rows["media_id"].append(int(mid))
+                rows["kind"].append(kind)
+                if payload is None or len(payload) == 0:
+                    rows["feature"].append(None)
+                    rows["error"].append("Invalid or corrupted file")
+                    continue
+                if not fake:
+                    raise NotImplementedError(
+                        "real media decoding requires PIL/ffmpeg; "
+                        "not available in this environment")
+                rows["feature"].append(_fake_decode(bytes(payload), dim))
+                rows["error"].append(None)
+            yield pd.DataFrame(rows)
+
+    return (media.select("media_id", "kind", "payload")
+            .repartition("media_id")
+            .mapInPandas(extract, schema=FEATURE_SCHEMA))
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Adapter for testing the plumbing on text tables: text bytes as an
+    opaque payload (binary cast), metadata defaulted."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )

@@ -1,0 +1,152 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Training-pipeline extension (no difPy analogue — difPy's metric space is
+pixel MSE; ours is cosine over embedding vectors, e.g. for
+embedding-cosine near-dup detection).
+
+* ``cosine_topk`` — exact brute force: broadcast the (small) query set
+  against the corpus, dot products via ``zip_with``+``aggregate`` (JVM,
+  codegen), rank with a window. The baseline and the verifier.
+* ``lsh_cosine_topk`` — scale path: random-hyperplane signatures (SRP /
+  sign-LSH, Charikar STOC'02 — public literature) computed by a
+  vectorized pandas UDF, candidates from Hamming-ball bucket joins on
+  signature prefixes, exact cosine re-rank within candidates. At 100 TB
+  the cross join is impossible; buckets cut candidates by ~2^bits.
+* ``embedding_neardup_edges`` — all-pairs near-duplicate edges among
+  vectors whose cosine >= threshold, via the same SRP bucketing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.pandas.functions import pandas_udf
+
+
+def _dot(a: str | F.Column, b: str | F.Column) -> F.Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: str | F.Column) -> F.Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: str | F.Column, b: str | F.Column) -> F.Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                ) -> DataFrame:
+    """Exact top-k: (query_id, neighbor_id, rank, cos). Queries are
+    broadcast (small side); corpus never shuffles for the join."""
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qvec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("cvec"))
+    scored = (c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+              .withColumn(
+                  "cos",
+                  _dot(F.col("qvec").cast("array<double>"),
+                       F.col("cvec").cast("array<double>"))
+                  / (_norm(F.col("qvec").cast("array<double>"))
+                     * _norm(F.col("cvec").cast("array<double>")))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank",
+                    F.round("cos", 6).alias("cos")))
+
+
+def srp_params(dim: int, n_bits: int, seed: int) -> np.ndarray:
+    """Seeded random hyperplanes (n_bits x dim)."""
+    return np.random.default_rng(seed).standard_normal((n_bits, dim))
+
+
+def with_srp_signature(df: DataFrame, dim: int, n_bits: int = 16,
+                       seed: int = 42, vec_col: str = "embedding",
+                       out_col: str = "srp") -> DataFrame:
+    """sign-LSH signature as a bigint bitmask — vectorized pandas UDF."""
+    planes = srp_params(dim, n_bits, seed)
+
+    @pandas_udf(T.LongType())
+    def srp(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())          # (batch, dim)
+        bits = (mat @ planes.T) >= 0             # (batch, n_bits)
+        weights = (1 << np.arange(n_bits)).astype(np.int64)
+        return pd.Series((bits * weights).sum(axis=1).astype(np.int64))
+
+    return df.withColumn(out_col, srp(F.col(vec_col)))
+
+
+def lsh_cosine_topk(corpus: DataFrame, queries: DataFrame, dim: int,
+                    k: int = 3, n_bits: int = 16, n_tables: int = 4,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    ) -> DataFrame:
+    """Approximate top-k: SRP bucket join (n_tables independent
+    hyperplane sets), exact cosine re-rank of candidates."""
+    parts = []
+    for t in range(n_tables):
+        c = with_srp_signature(corpus, dim, n_bits, seed=42 + t,
+                               vec_col=vec_col)
+        q = with_srp_signature(queries, dim, n_bits, seed=42 + t,
+                               vec_col=vec_col)
+        parts.append(
+            c.select(F.col(id_col).alias("neighbor_id"),
+                     F.col(vec_col).alias("cvec"), "srp")
+            .join(F.broadcast(
+                q.select(F.col(id_col).alias("query_id"),
+                         F.col(vec_col).alias("qvec"), "srp")), "srp")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .drop("srp"))
+    cands = parts[0]
+    for p in parts[1:]:
+        cands = cands.unionByName(p)
+    cands = cands.dropDuplicates(["query_id", "neighbor_id"])
+    scored = cands.withColumn(
+        "cos",
+        _dot(F.col("qvec").cast("array<double>"),
+             F.col("cvec").cast("array<double>"))
+        / (_norm(F.col("qvec").cast("array<double>"))
+           * _norm(F.col("cvec").cast("array<double>"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank",
+                    F.round("cos", 6).alias("cos")))
+
+
+def embedding_neardup_edges(corpus: DataFrame, dim: int,
+                            threshold: float = 0.95, n_bits: int = 12,
+                            n_tables: int = 4, id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Edges (src, dst, cos) with cosine >= threshold, via SRP buckets —
+    the embedding-cosine near-dup operator for dedup pipelines."""
+    parts = []
+    for t in range(n_tables):
+        s = with_srp_signature(corpus, dim, n_bits, seed=137 + t,
+                               vec_col=vec_col)
+        a = s.select(F.col(id_col).alias("src"),
+                     F.col(vec_col).alias("avec"), "srp")
+        b = s.select(F.col(id_col).alias("dst"),
+                     F.col(vec_col).alias("bvec"), "srp")
+        parts.append(a.join(b, "srp").filter(F.col("src") < F.col("dst"))
+                     .drop("srp"))
+    cands = parts[0]
+    for p in parts[1:]:
+        cands = cands.unionByName(p)
+    cands = cands.dropDuplicates(["src", "dst"])
+    return (cands.withColumn(
+                "cos",
+                _dot(F.col("avec").cast("array<double>"),
+                     F.col("bvec").cast("array<double>"))
+                / (_norm(F.col("avec").cast("array<double>"))
+                   * _norm(F.col("bvec").cast("array<double>"))))
+            .filter(F.col("cos") >= threshold)
+            .select("src", "dst", F.round("cos", 6).alias("cos")))
