@@ -1,0 +1,99 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: {"metric", "value", "unit": "sec", "queries": {...}, "sf"}.
+
+Each query is materialized via a count/collect so the full plan
+executes; timings include Spark action latency, not session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from sparkdedup.config import DedupConfig  # noqa: E402
+from sparkdedup.corpus import documents_as_files  # noqa: E402
+from sparkdedup.functions import text as TX  # noqa: E402
+from sparkdedup.operators.lsh import candidate_pairs, dedup_pairs  # noqa: E402
+from sparkdedup.operators.similarity import cosine_topk_vectorized  # noqa: E402
+from sparkdedup.plans.pipeline import (build_signatures,  # noqa: E402
+                                       search_clusters)
+from sparkdedup.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(app_name="sparkdedup-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(int(cpus), 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    files = documents_as_files(spark, sf_dir)
+    cfg = DedupConfig(similarity="similar", containment=True)
+
+    timings: dict[str, float] = {}
+
+    def bench(name: str, fn) -> None:
+        t0 = time.monotonic()
+        fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    # q1: signature build (scan -> validate -> sha256 -> MinHash/SimHash)
+    sigs_cache = {}
+
+    def q1():
+        sigs, invalid = build_signatures(spark, cfg, files)
+        sigs = sigs.persist()
+        sigs.count()
+        sigs_cache["sigs"], sigs_cache["invalid"] = sigs, invalid
+
+    bench("q1_signatures", q1)
+
+    # q2: LSH banding candidate generation + cross-band dedup
+    bench("q2_lsh_pairs",
+          lambda: dedup_pairs(candidate_pairs(sigs_cache["sigs"], cfg))
+          .count())
+
+    # q3: full search (exact + near + containment -> CC -> ranking)
+    def q3():
+        res = search_clusters(sigs_cache["sigs"], sigs_cache["invalid"], cfg)
+        res.ranked.count()
+
+    bench("q3_search_clusters", q3)
+
+    # q4: exact cosine top-k (20 queries, vectorized brute force)
+    bench("q4_cosine_topk",
+          lambda: cosine_topk_vectorized(
+              emb, emb.filter(F.col("vec_id") < 20), k=5).count())
+
+    # q5: text analytics sweep (lang-id + quality + tokens, one pass)
+    bench("q5_text_stats",
+          lambda: docs.select(
+              TX.lang_id(F.col("text")).alias("pred"),
+              TX.quality_score(F.col("text")).alias("q"),
+              TX.ws_token_count(F.col("text")).alias("t"))
+          .groupBy("pred").agg(F.avg("q"), F.sum("t")).count())
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -77,15 +77,22 @@ class DedupConfig:
     # --- LSH ---
     num_bands: int = 32           # num_perm must divide evenly
     band_pair_cap: int = 64       # buckets above this emit star edges only
-    simhash_ham_max: int = 16     # cheap pre-verify cut on 64-bit SimHash
+    simhash_ham_max: int = 22     # cheap pre-verify cut on 64-bit SimHash.
+                                  # Measured on the 20k fixture corpus:
+                                  # true pairs (est-jaccard >= 0.7) have
+                                  # ham p99=17/max=22; junk medians ~30.
+                                  # 22 loses 0 true pairs, passes ~7% junk
 
     # --- execution (difPy `processes` / `chunksize`, dif.py:902-919) ---
     processes: int | None = None
     chunksize: int | None = None
 
     # --- containment stage ---
-    bottom_t: int = 16            # bottom-t shingle sketch for the index
-    probe_s: int = 4              # probe with the s smallest shingles
+    anchor_mod: int = 32          # uniform 1/mod sample of shingle space
+    max_anchors: int = 512        # per-file anchor cap (recall bound for
+                                  # contained-in-huge-file cases)
+    contain_df_cap: int = 64      # drop anchors shared by more files
+    contain_agree_frac: float = 0.8  # required fraction of rare anchors
     min_contain_chars: int = 64   # ignore tiny files for containment
 
     # --- resume ---

@@ -69,14 +69,22 @@ def _regions(n: int) -> dict[str, tuple[int, int]]:
 
 
 def _base_text(seed: int, group: int, n_lines: int = 24) -> list[str]:
-    """Deterministic source-like text as a list of token-lines."""
+    """Deterministic source-like text as a list of token-lines.
+
+    Identifiers carry numeric suffixes (realistic entropy: a real code
+    corpus has millions of distinct identifiers, not 40); without them
+    every char shingle is globally common at scale and both LSH and the
+    containment anchor index degrade to all-stopword buckets."""
     rng = np.random.RandomState((seed * 1_000_003 + group * 7919) % (2**31 - 1))
     words = rng.choice(_VOCAB, size=n_lines * 4)
+    sufs = rng.randint(0, 9973, size=n_lines * 4)
     nums = rng.randint(0, 997, size=n_lines)
     lines = []
     for li in range(n_lines):
         w = words[li * 4:(li + 1) * 4]
-        lines.append(f"def {w[0]}_{w[1]}({w[2]}): return {w[3]} + {nums[li]}")
+        s = sufs[li * 4:(li + 1) * 4]
+        lines.append(f"def {w[0]}{s[0]}_{w[1]}{s[1]}({w[2]}{s[2]}): "
+                     f"return {w[3]}{s[3]} + {nums[li]}")
     return lines
 
 
@@ -89,8 +97,9 @@ def _mutate(lines: list[str], seed: int, group: int, member: int,
     k = max(1, int(len(lines) * frac))
     for idx in rng.choice(len(lines), size=k, replace=False):
         w = rng.choice(_VOCAB, size=4)
-        out[idx] = (f"def {w[0]}_{w[1]}({w[2]}): "
-                    f"return {w[3]} + {rng.randint(0, 997)}")
+        s = rng.randint(0, 9973, size=4)
+        out[idx] = (f"def {w[0]}{s[0]}_{w[1]}{s[1]}({w[2]}{s[2]}): "
+                    f"return {w[3]}{s[3]} + {rng.randint(0, 997)}")
     return out
 
 

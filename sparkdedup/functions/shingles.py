@@ -1,4 +1,4 @@
-"""Featurize: content -> MinHash / SimHash / bottom-t sketch (difPy O4).
+"""Featurize: content -> MinHash / SimHash / anchor sketch (difPy O4).
 
 Reference analogue: ``build._generate_tensor``
 (`/root/reference/difPy/dif.py:229-248`) decodes an image and bicubic-
@@ -11,8 +11,13 @@ pairwise MSE approximates visual similarity. Our sketch for text/code is:
 * **MinHash** over ``num_perm`` seeded affine permutations (estimated
   Jaccard replaces MSE, dif.py:697-717);
 * **SimHash64** majority-bit fingerprint (cheap Hamming pre-filter);
-* **bottom-t sketch** (t smallest shingle hashes) feeding the
-  containment stage (the ``rotate`` analogue, dif.py:697-713).
+* **anchor sketch** — the shingle hashes with ``h % anchor_mod == 0``
+  (a uniform 1/mod sample of shingle space, smallest ``max_anchors``
+  kept). Containment-safe by construction: A inside B implies
+  shingles(A) subset shingles(B) implies anchors(A) subset anchors(B)
+  — unlike a bottom-t MinHash sketch, which degenerates to globally
+  common shingles on low-entropy corpora. Feeds the containment stage
+  (the ``rotate`` analogue, dif.py:697-713).
 
 All math is numpy over Arrow batches (pandas UDF) — no per-row Python in
 the JVM<->Python crossing, per BASELINE.json ``input_hint``. The SAME
@@ -81,10 +86,11 @@ def minhash_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def signature_of(text: str, k: int, num_perm: int, seed: int,
-                 bottom_t: int,
+                 anchor_mod: int = 32, max_anchors: int = 512,
                  params: tuple[np.ndarray, np.ndarray] | None = None,
                  ) -> tuple[np.ndarray, int, int, np.ndarray]:
-    """(minhash int64[num_perm], simhash int64, n_shingles, bottom int64[<=t]).
+    """(minhash int64[num_perm], simhash int64, n_shingles,
+    anchors int64[<=max_anchors]).
 
     Pure numpy — shared verbatim by the Spark pandas UDF and tests/oracle.
     """
@@ -101,15 +107,15 @@ def signature_of(text: str, k: int, num_perm: int, seed: int,
     bits = ((h[:, None] >> shifts[None, :]) & _U64(1)).sum(axis=0)
     sim_bits = (bits * 2 >= h.size).astype(np.uint64)
     simhash = int((sim_bits << shifts).sum(dtype=_U64).view(np.int64))
-    bottom = np.sort(h)[:bottom_t].view(np.int64)
-    return mh, simhash, int(h.size), bottom
+    anch = np.sort(h[h % _U64(anchor_mod) == 0])[:max_anchors]
+    return mh, simhash, int(h.size), anch.view(np.int64)
 
 
 SIGNATURE_FIELDS = T.StructType([
     T.StructField("minhash", T.ArrayType(T.LongType()), False),
     T.StructField("simhash", T.LongType(), False),
     T.StructField("n_shingles", T.LongType(), False),
-    T.StructField("bottom_sketch", T.ArrayType(T.LongType()), False),
+    T.StructField("anchors", T.ArrayType(T.LongType()), False),
 ])
 
 
@@ -120,23 +126,23 @@ def make_signature_udf(cfg: DedupConfig):
     rows); inner loop is numpy per document. This is the process
     boundary that replaces difPy's Pool.starmap (dif.py:189-213).
     """
-    k, num_perm, seed, bottom_t = (cfg.shingle_k, cfg.num_perm, cfg.seed,
-                                   cfg.bottom_t)
+    k, num_perm, seed = cfg.shingle_k, cfg.num_perm, cfg.seed
+    anchor_mod, max_anchors = cfg.anchor_mod, cfg.max_anchors
 
     @pandas_udf(SIGNATURE_FIELDS)
     def signature(content: pd.Series) -> pd.DataFrame:
         params = minhash_params(num_perm, seed)
-        mhs, sims, counts, bottoms = [], [], [], []
+        mhs, sims, counts, anchors = [], [], [], []
         for text in content:
-            mh, sh, n, bot = signature_of(text or "", k, num_perm, seed,
-                                          bottom_t, params)
+            mh, sh, n, anc = signature_of(text or "", k, num_perm, seed,
+                                          anchor_mod, max_anchors, params)
             mhs.append(mh)
             sims.append(sh)
             counts.append(n)
-            bottoms.append(bot)
+            anchors.append(anc)
         return pd.DataFrame({
             "minhash": mhs, "simhash": sims, "n_shingles": counts,
-            "bottom_sketch": bottoms,
+            "anchors": anchors,
         })
 
     return signature
@@ -149,5 +155,5 @@ def with_signature(df: DataFrame, cfg: DedupConfig,
               .withColumn("minhash", F.col("_sig.minhash"))
               .withColumn("simhash", F.col("_sig.simhash"))
               .withColumn("n_shingles", F.col("_sig.n_shingles"))
-              .withColumn("bottom_sketch", F.col("_sig.bottom_sketch"))
+              .withColumn("anchors", F.col("_sig.anchors"))
               .drop("_sig"))

@@ -67,19 +67,33 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     dif.py:533-543). Driver crosses once per round for the convergence
     fingerprint — an aggregated count, not data.
     """
+    spark = edges.sparkSession
     g = (edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
          .filter(F.col("u") != F.col("v"))
          .dropDuplicates(["u", "v"])
          .localCheckpoint(eager=True))
-    prev = _fingerprint(g)
-    for _ in range(max_iter):
-        g = _small_star(_large_star(g)).localCheckpoint(eager=True)
-        cur = _fingerprint(g)
-        if cur == prev:
-            break
-        prev = cur
-    else:
-        raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+    # The edge graph is typically orders of magnitude smaller than the
+    # corpus; iterate at a partition count matched to it, not to the
+    # corpus-sized session default (each round is several jobs — tiny
+    # partitions make the loop pure scheduling overhead).
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    n_edges = g.count()
+    cc_parts = max(spark.sparkContext.defaultParallelism,
+                   min(int(old_parts), n_edges // 100_000 + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(cc_parts))
+    try:
+        prev = _fingerprint(g)
+        for _ in range(max_iter):
+            g = _small_star(_large_star(g)).localCheckpoint(eager=True)
+            cur = _fingerprint(g)
+            if cur == prev:
+                break
+            prev = cur
+        else:
+            raise RuntimeError(
+                f"connected_components: no fixpoint in {max_iter} rounds")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     # converged: every edge is (node, root)
     return (g.select(F.col("u").alias("file_id"), F.col("v").alias("cluster_id"))
             .unionByName(g.select(F.col("v").alias("file_id"),

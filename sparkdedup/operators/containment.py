@@ -9,14 +9,16 @@ threshold, so the LSH stage never pairs them.
 
 Two stages, both distributed:
 
-1. **Candidate generation** via bottom-sketch inverted index. If
-   A ⊆ B then shingles(A) ⊆ shingles(B), so A's MINIMUM shingle hash is
-   an element of B's shingle set; it lands in B's bottom-t sketch with
-   probability ≈ min(1, t·|A|/|B|). We index every file's bottom-t
-   hashes (t rows/file — linear) and probe with every file's s smallest
-   hashes; an equi-join on the hash plus ``n_chars_small < n_chars_big``
-   yields candidates. Probabilistic recall, tunable via t/s, never a
-   cross join.
+1. **Candidate generation** via an anchor inverted index. Anchors are
+   the shingle hashes with ``h % anchor_mod == 0`` — a uniform 1/mod
+   sample of shingle space — so A ⊆ B implies anchors(A) ⊆ anchors(B)
+   BY CONSTRUCTION (a bottom-t MinHash sketch lacks this property: on
+   low-entropy corpora it degenerates to globally common shingles).
+   Index = every file's anchors (~n_shingles/mod rows per file, linear);
+   probe = the same, restricted to files above ``min_contain_chars``;
+   stopword-like anchors (document frequency > ``contain_df_cap``) are
+   dropped from BOTH sides; a candidate must agree on
+   ``contain_agree_frac`` of the small file's rare anchors.
 2. **Exact verification** with a per-big-file SUFFIX ARRAY
    (rank-doubling construction, numpy argsort, O(n log^2 n)): pattern
    lookup is binary search over suffixes. Runs inside ``mapInPandas`` on
@@ -31,7 +33,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -87,22 +89,46 @@ def sa_contains(text: bytes, sa: np.ndarray, pattern: bytes) -> bool:
 
 
 def containment_candidates(sigs: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """Bottom-sketch index join -> candidate (small_id, big_id) pairs."""
-    index = sigs.select(
-        F.col("file_id").alias("big_id"),
-        F.col("n_chars").alias("big_chars"),
-        F.explode("bottom_sketch").alias("h"),
-    )
-    probe = sigs.filter(F.col("n_chars") >= cfg.min_contain_chars).select(
-        F.col("file_id").alias("small_id"),
-        F.col("n_chars").alias("small_chars"),
-        F.explode(F.slice("bottom_sketch", 1, cfg.probe_s)).alias("h"),
-    )
-    return (probe.join(index, "h")
-            .filter(F.col("small_chars") < F.col("big_chars"))
-            .filter(F.col("small_id") != F.col("big_id"))
-            .select("small_id", "big_id", "small_chars", "big_chars")
-            .dropDuplicates(["small_id", "big_id"]))
+    """Anchor-index join -> candidate (small_id, big_id) pairs.
+
+    Anchors are the uniform 1/``anchor_mod`` sample of shingle space
+    (functions/shingles.py), so A inside B implies anchors(A) is a
+    subset of anchors(B) BY CONSTRUCTION. Skew control: anchors shared
+    by more than ``contain_df_cap`` files are stopword-analogues with no
+    containment signal — they are dropped from BOTH probe and index
+    (consistently, so the subset property survives on the rare subset).
+    A candidate must match on at least ``contain_agree_frac`` of the
+    small file's rare anchors — near-exact precision before the
+    suffix-array verify, and join fan-out bounded by df_cap^2 per hash.
+    """
+    anchors = sigs.select(
+        F.col("file_id"), F.col("n_chars"), F.explode("anchors").alias("h"))
+    bucket_w = Window.partitionBy("h")
+    # persisted: the rare-anchor relation feeds probe, index AND the
+    # per-file rare count — without it the anchor window runs 3x
+    rare = (anchors
+            .withColumn("_df", F.count(F.lit(1)).over(bucket_w))
+            .filter(F.col("_df") <= cfg.contain_df_cap)
+            .drop("_df")
+            .persist())
+    probe = (rare.filter(F.col("n_chars") >= cfg.min_contain_chars)
+             .select(F.col("file_id").alias("small_id"),
+                     F.col("n_chars").alias("small_chars"), "h"))
+    n_rare = probe.groupBy("small_id").agg(
+        F.count(F.lit(1)).alias("_n_rare"))
+    index = rare.select(F.col("file_id").alias("big_id"),
+                        F.col("n_chars").alias("big_chars"), "h")
+    agree = (probe.join(index, "h")
+             .filter(F.col("small_chars") < F.col("big_chars"))
+             .filter(F.col("small_id") != F.col("big_id"))
+             .groupBy("small_id", "big_id", "small_chars", "big_chars")
+             .agg(F.count(F.lit(1)).alias("_agree")))
+    return (agree.join(n_rare, "small_id")
+            .filter((F.col("_n_rare") >= 2)
+                    & (F.col("_agree")
+                       >= F.ceil(F.col("_n_rare")
+                                 * F.lit(cfg.contain_agree_frac))))
+            .select("small_id", "big_id", "small_chars", "big_chars"))
 
 
 _VERIFY_SCHEMA = T.StructType([

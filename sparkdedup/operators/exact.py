@@ -33,7 +33,9 @@ def exact_edges(sigs: DataFrame, cfg: DedupConfig) -> DataFrame:
     keys = ["sha256"] + (["repo"] if cfg.in_folder else [])
     w = Window.partitionBy(*keys)
     return (
-        sigs
+        # project BEFORE the window: the group shuffle moves ~40 bytes
+        # per row, not the content + 1KB MinHash payload
+        sigs.select("file_id", *keys)
         .withColumn("_root", F.min("file_id").over(w))
         .withColumn("_n", F.count(F.lit(1)).over(w))
         .filter((F.col("_n") > 1) & (F.col("file_id") != F.col("_root")))

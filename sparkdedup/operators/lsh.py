@@ -80,6 +80,13 @@ def candidate_pairs(sigs: DataFrame, cfg: DedupConfig) -> DataFrame:
     a, b = small.alias("a"), small.alias("b")
     join_cond = [F.col(f"a.{k}") == F.col(f"b.{k}") for k in keys]
     join_cond.append(F.col("a.file_id") < F.col("b.file_id"))
+    # SimHash Hamming cut INSIDE the join predicate: marginal-similarity
+    # pairs die during the bucket cross-product instead of being
+    # materialized into the dedup shuffle (difPy's cheap-predicate-first
+    # pattern, dif.py:441-449, at the physical-plan level).
+    join_cond.append(
+        F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+        <= cfg.simhash_ham_max)
     pairs_small = a.join(b, join_cond).select(
         F.col("a.file_id").alias("src"),
         F.col("b.file_id").alias("dst"),

@@ -44,7 +44,7 @@ from sparkdedup.sources.files import read_files, split_invalid
 SIGNATURE_COLS = [
     "file_id", "repo", "path", "commit", "lang", "content", "sha256",
     "n_chars", "n_lines", "len_bucket", "minhash", "simhash",
-    "n_shingles", "bottom_sketch",
+    "n_shingles", "anchors",
 ]
 
 
@@ -62,13 +62,19 @@ def build_signatures(spark: SparkSession, cfg: DedupConfig,
 
 def _distinct_reps(sigs: DataFrame, cfg: DedupConfig) -> DataFrame:
     """One representative row per sha256 group (scoped by repo when
-    in_folder) — collapses exact-dup mass before the LSH shuffle."""
+    in_folder) — collapses exact-dup mass before the LSH shuffle.
+
+    The group-min window runs over a (file_id, sha256) projection so the
+    shuffle never moves content/MinHash payloads; the surviving ids then
+    hash-join back to the full rows (broadcast when small — Catalyst's
+    call)."""
     keys = ["sha256"] + (["repo"] if cfg.in_folder else [])
     w = Window.partitionBy(*keys)
-    return (sigs
-            .withColumn("_root", F.min("file_id").over(w))
-            .filter(F.col("file_id") == F.col("_root"))
-            .drop("_root"))
+    rep_ids = (sigs.select("file_id", *keys)
+               .withColumn("_root", F.min("file_id").over(w))
+               .filter(F.col("file_id") == F.col("_root"))
+               .select("file_id"))
+    return sigs.join(rep_ids, "file_id")
 
 
 @dataclass
@@ -176,30 +182,41 @@ class SearchResult:
 
 def search_clusters(sigs: DataFrame, invalid: DataFrame,
                     cfg: DedupConfig) -> SearchResult:
-    """difPy search stage over a signature DataFrame."""
+    """difPy search stage over a signature DataFrame.
+
+    ``sigs`` is consumed by several branches (exact edges, LSH, the
+    containment index, final ranking) — persist it here so the
+    featurize UDF runs ONCE, mirroring difPy's build-once/search-many
+    artifact (dif.py:61). Same for the sha256 representatives.
+    """
     timings: dict[str, float] = {}
     t0 = time.monotonic()
 
+    sigs = sigs.persist()
+    sigs.count()  # materialize: ONE featurize pass feeds every branch
     edges = exact_edges(sigs, cfg).withColumn("gen", F.lit("exact"))
 
+    reps = None
+    if cfg.threshold > 0 or cfg.containment:
+        reps = _distinct_reps(sigs, cfg).persist()
+        reps.count()
+
     if cfg.threshold > 0:
-        reps = _distinct_reps(sigs, cfg)
         near = jaccard_edges(
             hamming_filter(dedup_pairs(candidate_pairs(reps, cfg)), cfg),
             reps, cfg)
         edges = edges.unionByName(near)
 
     if cfg.containment:
-        reps_c = _distinct_reps(sigs, cfg) if cfg.threshold > 0 else sigs
-        cont = containment_edges(reps_c, cfg).withColumn("gen",
-                                                         F.lit("contain"))
+        cont = containment_edges(reps, cfg).withColumn("gen",
+                                                       F.lit("contain"))
         edges = edges.unionByName(cont)
 
     edges = edges.groupBy("src", "dst").agg(
         F.min("dist").alias("dist"),
         F.min_by("kind", "dist").alias("kind"),
         F.min("gen").alias("gen"),
-    )
+    ).persist()
     timings["plan_edges"] = time.monotonic() - t0
 
     t1 = time.monotonic()

@@ -45,7 +45,8 @@ def _distances(ids: list, contents: dict, cfg: DedupConfig
     sigs = {}
     for i in ids:
         mh, _, n, _ = signature_of(contents[i], cfg.shingle_k, cfg.num_perm,
-                                   cfg.seed, cfg.bottom_t, params)
+                                   cfg.seed, cfg.anchor_mod, cfg.max_anchors,
+                                   params)
         sigs[i] = mh
     exact, near = set(), {}
     order = sorted(ids)

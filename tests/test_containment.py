@@ -42,9 +42,13 @@ def test_sa_contains_equals_python_in(text, pat):
 
 def test_containment_edges_end_to_end(spark):
     cfg = DedupConfig(containment=True, min_contain_chars=32)
-    inner = "def contained_function(arg): return arg * 3 + 1\n" * 4
-    outer = ("# header comment here\n" + inner + "# trailing code\n"
-             + "def other(): pass\n" * 6)
+    # diverse inner text: enough DISTINCT shingles that the 1/32 anchor
+    # sample yields >= 2 anchors
+    inner = "\n".join(
+        f"def contained_fn_{i}(arg_{i}): return arg_{i} * {i} + {i * 7}"
+        for i in range(12))
+    outer = ("# header comment here\n" + inner + "\n# trailing code\n"
+             + "\n".join(f"def other_{j}(): pass" for j in range(8)))
     rows = [("r", "small.py", "c", "python", inner),
             ("r", "big.py", "c", "python", outer),
             ("r", "noise.py", "c", "python", "unrelated content " * 30)]

@@ -12,7 +12,7 @@ from sparkdedup.functions.shingles import (minhash_params, normalize_text,
                                            shingle_hashes, signature_of,
                                            with_signature)
 
-CFG = dict(k=7, num_perm=128, seed=42, bottom_t=16)
+CFG = dict(k=7, num_perm=128, seed=42, anchor_mod=32, max_anchors=512)
 
 
 def test_deterministic_across_calls():
@@ -24,8 +24,7 @@ def test_deterministic_across_calls():
 
 def test_seed_changes_signature():
     mh1, *_ = signature_of("some content here", **CFG)
-    mh2, *_ = signature_of("some content here", k=7, num_perm=128, seed=43,
-                           bottom_t=16)
+    mh2, *_ = signature_of("some content here", k=7, num_perm=128, seed=43)
     assert not np.array_equal(mh1, mh2)
 
 
@@ -68,7 +67,7 @@ def test_identical_content_identical_everything():
     assert np.array_equal(mha, mhb) and sa == sb and np.array_equal(ba, bb)
 
 
-def test_bottom_sketch_is_subset_for_contained_text():
+def test_anchor_sketch_is_subset_for_contained_text():
     small = "the quick brown fox jumps over the lazy dog " * 3
     big = "prefix padding text here " + small + " suffix padding text"
     hs = set(shingle_hashes(small, 7).tolist())
@@ -95,13 +94,14 @@ def test_spark_udf_matches_kernel(spark):
     out = {r["path"]: r for r in with_signature(df, cfg).collect()}
     params = minhash_params(cfg.num_perm, cfg.seed)
     for repo, path, commit, lang, content in rows:
-        mh, sim, n, bot = signature_of(content, cfg.shingle_k, cfg.num_perm,
-                                       cfg.seed, cfg.bottom_t, params)
+        mh, sim, n, anc = signature_of(content, cfg.shingle_k, cfg.num_perm,
+                                       cfg.seed, cfg.anchor_mod,
+                                       cfg.max_anchors, params)
         got = out[path]
         assert got["minhash"] == mh.tolist()
         assert got["simhash"] == sim
         assert got["n_shingles"] == n
-        assert got["bottom_sketch"] == bot.tolist()
+        assert got["anchors"] == anc.tolist()
 
 
 def test_normalize_text():
