@@ -100,11 +100,23 @@ def signature_of(text: str, k: int, num_perm: int, seed: int,
         mh = np.full(num_perm, np.iinfo(np.int64).max, dtype=np.int64)
         return mh, 0, 0, np.array([], dtype=np.int64)
     with np.errstate(over="ignore"):
-        # (num_perm, m) affine transforms; min along shingles.
-        mh_u = (a[:, None] * h[None, :] + b[:, None]).min(axis=1)
+        # (num_perm, m) affine transforms, cache-blocked: a full outer
+        # product streams num_perm*m*8B (~1MB/doc) of temporaries
+        # through DRAM and turns 32-core runs memory-bandwidth-bound;
+        # 16-perm blocks keep the working set in L2 (identical results).
+        mh_u = np.empty(num_perm, dtype=_U64)
+        for s in range(0, num_perm, 16):
+            e = min(s + 16, num_perm)
+            mh_u[s:e] = (a[s:e, None] * h[None, :]
+                         + b[s:e, None]).min(axis=1)
     mh = mh_u.view(np.int64)
     shifts = np.arange(64, dtype=_U64)
-    bits = ((h[:, None] >> shifts[None, :]) & _U64(1)).sum(axis=0)
+    # bit-count accumulation in shingle blocks for the same reason
+    bits = np.zeros(64, dtype=np.int64)
+    for s in range(0, h.size, 2048):
+        blk = h[s:s + 2048]
+        bits += ((blk[:, None] >> shifts[None, :]) & _U64(1)).sum(
+            axis=0).astype(np.int64)
     sim_bits = (bits * 2 >= h.size).astype(np.uint64)
     simhash = int((sim_bits << shifts).sum(dtype=_U64).view(np.int64))
     anch = np.sort(h[h % _U64(anchor_mod) == 0])[:max_anchors]

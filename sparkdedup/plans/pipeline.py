@@ -23,6 +23,7 @@ computed in ONE job over the edge set; result-dict materialization
 from __future__ import annotations
 
 import json
+import logging
 import time
 from dataclasses import dataclass, field
 
@@ -40,6 +41,10 @@ from sparkdedup.operators.lsh import candidate_pairs, dedup_pairs
 from sparkdedup.operators.ranking import lower_quality, rank_clusters
 from sparkdedup.operators.verify import hamming_filter, jaccard_edges
 from sparkdedup.sources.files import read_files, split_invalid
+
+#: O23 progress reporting: difPy's console bar (dif.py:947-956) maps to
+#: the Spark UI plus these structured log lines and the stats document.
+log = logging.getLogger("sparkdedup")
 
 SIGNATURE_COLS = [
     "file_id", "repo", "path", "commit", "lang", "content", "sha256",
@@ -105,6 +110,14 @@ class SearchResult:
                 "read .ranked / .clusters DataFrames instead")
         dists = {(r["src"], r["dst"]): r["dist"]
                  for r in self.edges.collect()}
+        # distance of each member to its cluster root: edges are sparse
+        # (stars/LSH survivors), so non-adjacent display pairs get the
+        # root-path upper bound d(a,root)+d(root,b) — exactly 0 for
+        # exact-duplicate groups, a conservative estimate otherwise
+        to_root: dict = {}
+        for (a, b), d in dists.items():
+            to_root[b] = min(to_root.get(b, d), d)
+            to_root[a] = min(to_root.get(a, d), d)
         by_cluster: dict = {}
         for r in sorted(ranked, key=lambda r: r["rn"]):
             by_cluster.setdefault(r["cluster_id"], []).append(r)
@@ -116,6 +129,10 @@ class SearchResult:
                 d = dists.get((primary["file_id"], m["file_id"]),
                               dists.get((m["file_id"], primary["file_id"]),
                                         None))
+                if d is None and primary["file_id"] in to_root \
+                        and m["file_id"] in to_root:
+                    d = min(1.0, to_root[primary["file_id"]]
+                            + to_root[m["file_id"]])
                 matches.append([m["path"],
                                 float(d) if d is not None else None])
             if self.cfg.in_folder:
@@ -193,13 +210,14 @@ def search_clusters(sigs: DataFrame, invalid: DataFrame,
     t0 = time.monotonic()
 
     sigs = sigs.persist()
-    sigs.count()  # materialize: ONE featurize pass feeds every branch
+    n_sigs = sigs.count()  # materialize: ONE featurize pass feeds all branches
+    log.info("search: %d signatures materialized", n_sigs)
     edges = exact_edges(sigs, cfg).withColumn("gen", F.lit("exact"))
 
     reps = None
     if cfg.threshold > 0 or cfg.containment:
         reps = _distinct_reps(sigs, cfg).persist()
-        reps.count()
+        log.info("search: %d distinct-content representatives", reps.count())
 
     if cfg.threshold > 0:
         near = jaccard_edges(
@@ -222,6 +240,8 @@ def search_clusters(sigs: DataFrame, invalid: DataFrame,
     t1 = time.monotonic()
     clusters = connected_components(edges)
     timings["connected_components"] = time.monotonic() - t1
+    log.info("search: edge planning %.1fs, connected components %.1fs",
+             timings["plan_edges"], timings["connected_components"])
 
     ranked = rank_clusters(clusters,
                            sigs.select("file_id", "repo", "path", "n_chars"))

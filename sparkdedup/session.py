@@ -45,10 +45,16 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Stable timestamps/parquet behaviour for oracle comparison.
         .config("spark.sql.session.timeZone", "UTC")
+        # cached signature tables are mostly MinHash arrays (random
+        # int64s): columnar-cache compression burns CPU for ~no ratio
+        # (measured 2x cache-materialization cost at 1.2M rows)
+        .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", os.environ.get("SPARKDEDUP_UI", "false"))
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.driver.memory", os.environ.get("SPARKDEDUP_DRIVER_MEM", "8g"))
+        # single-JVM local mode: executor==driver heap; size for cached
+        # signature tables + shuffle buffers (GC stalls otherwise)
+        .config("spark.driver.memory", os.environ.get("SPARKDEDUP_DRIVER_MEM", "28g"))
     )
     if master:
         b = b.master(master)

@@ -131,6 +131,26 @@ def test_file_id_stable_and_distinct(spark):
     assert ids == ids2
 
 
+def test_in_folder_no_cross_repo_edges(spark):
+    """difPy leaks cross-folder comparisons on its >5k path
+    (dif.py:378, SURVEY.md §2.2); we must scope correctly at ANY size."""
+    from sparkdedup.plans.pipeline import run as run_pipeline
+    cfg = DedupConfig(similarity="similar", in_folder=True)
+    text = "def fn_%d(val_%d): return val_%d * 31 + %d\n"
+    body = "".join(text % (i, i, i, i) for i in range(12))
+    rows = [(f"r{j}", f"f{i}.py", "c", "python", body + f"# tail {i % 2}")
+            for j in range(3) for i in range(4)]
+    res = run_pipeline(spark, cfg, _files(spark, rows))
+    ids = {r["file_id"]: r["repo"] for r in
+           run_pipeline(spark, DedupConfig(similarity="similar"),
+                        _files(spark, rows)).ranked
+           .select("file_id", "repo").collect()}
+    for e in res.edges.collect():
+        assert ids.get(e["src"]) == ids.get(e["dst"]), \
+            f"cross-repo edge {e}"
+    assert res.edges.count() > 0
+
+
 def test_len_bucket_same_dim_prefilter(spark):
     cfg = DedupConfig(similarity="similar", same_dim=True)
     short = "tiny text here padded a bit more"  # ~32 chars
