@@ -38,6 +38,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # size shuffle partitioning to the input: tiny sf dirs are fixed-
+    # overhead-bound at corpus-scale partition counts
+    n_docs = docs.count()
+    parts = max(8, min(int(cpus), n_docs // 1000 + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     files = documents_as_files(spark, sf_dir)
     cfg = DedupConfig(similarity="similar", containment=True)
