@@ -51,8 +51,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # --------------------------------------------------------------------
 
 def q_exact_dup_groups(spark, sf):
-    # O9: exact-duplicate groups via content hash
-    return (_docs(spark, sf)
+    # O9: exact-duplicate groups via content hash. The sf0.01 documents
+    # table has no duplicate texts, so group over a view with PLANTED
+    # collisions (each doc unioned with a doc_id-offset copy) — a green
+    # result with 0 rows proves nothing (round-1 verdict).
+    d = _docs(spark, sf).select("doc_id", "text")
+    dup = d.unionByName(d.withColumn("doc_id", F.col("doc_id")
+                                     + F.lit(1_000_000)))
+    return (dup
             .groupBy(F.md5("text").alias("content_hash"))
             .agg(F.count(F.lit(1)).alias("n_copies"),
                  F.min("doc_id").alias("rep_doc_id"))
@@ -172,8 +178,10 @@ def _doc_sigs(spark, sf, cfg):
 def q_minhash_signatures(spark, sf):
     cfg = DedupConfig(similarity="similar")
     s = _doc_sigs(spark, sf, cfg)
+    # xxhash64 over ALL minhash lanes (not just lane 0) so the rows-only
+    # check discriminates any kernel change (round-1 verdict item 9)
     return s.select("file_id", "sha256", "simhash", "n_shingles",
-                    F.element_at("minhash", 1).alias("minhash_lane0"))
+                    F.xxhash64("minhash").alias("minhash_h"))
 
 
 def q_lsh_candidate_pairs(spark, sf):
@@ -189,10 +197,92 @@ def q_near_dup_clusters(spark, sf):
 
 
 def q_containment_edges(spark, sf):
+    """Containment stage vs EXACT DuckDB ground truth: every (big, small)
+    document pair with the normalized small text a verbatim substring of
+    the normalized big text (subject to the documented preconditions:
+    raw n_chars(small) >= min_contain_chars and < n_chars(big)). A green
+    hash means the anchor candidate generation had perfect recall AND
+    the suffix-array verify perfect precision on this corpus."""
     from sparkdedup.operators.containment import containment_edges
     cfg = DedupConfig(containment=True)
-    s = _doc_sigs(spark, sf, cfg)
-    return containment_edges(s, cfg)
+    s = _doc_sigs(spark, sf, cfg).persist()
+    edges = containment_edges(s, cfg)
+    ids = s.select("file_id", _doc_id_from_path().alias("doc_id"))
+    return (edges
+            .join(ids.withColumnRenamed("doc_id", "big_doc"),
+                  edges["src"] == ids["file_id"]).drop("file_id")
+            .join(ids.withColumnRenamed("doc_id", "small_doc").alias("i2"),
+                  F.col("dst") == F.col("i2.file_id"))
+            .select("big_doc", "small_doc",
+                    F.round("dist", 6).alias("dist")))
+
+
+def _doc_id_from_path() -> F.Column:
+    # documents_as_files writes path = "docs/{doc_id}.txt"
+    return F.regexp_extract("path", r"docs/(\d+)\.txt", 1).cast("long")
+
+
+_SHINGLE_K = 7
+
+
+def _char_shingles(col: F.Column, k: int = _SHINGLE_K) -> F.Column:
+    """Distinct char k-grams of whitespace-normalized text as STRINGS
+    (not hashes) so DuckDB can compute the identical set."""
+    norm = F.trim(F.regexp_replace(col, r"\s+", " "))
+    n = F.length(norm)
+    return F.when(n < k, F.array(norm)).otherwise(
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: norm.substr(i, F.lit(k)))))
+
+
+def _exact_jaccard_edges(spark, sf, min_j: float = 0.7):
+    """LSH candidates -> EXACT char-shingle Jaccard >= min_j.
+
+    The candidate set comes from the engine's MinHash-LSH banding
+    (operators/lsh.py); the verification is exact set Jaccard over
+    string shingles. DuckDB computes the same edge set from ALL pairs,
+    so a green hash proves the LSH stage had perfect recall at the
+    threshold on this corpus — the round-1 gap (near-dup core was
+    rows-only) closed."""
+    cfg = DedupConfig(similarity="similar")
+    s = _doc_sigs(spark, sf, cfg).persist()
+    pairs = dedup_pairs(candidate_pairs(s, cfg)).select("src", "dst")
+    sh = s.select("file_id", _doc_id_from_path().alias("doc_id"),
+                  _char_shingles(F.col("content")).alias("grams"))
+    joined = (pairs
+              .join(sh.select(F.col("file_id"),
+                              F.col("doc_id").alias("doc_x"),
+                              F.col("grams").alias("gx")),
+                    pairs["src"] == sh["file_id"]).drop("file_id")
+              .join(sh.select(F.col("file_id"),
+                              F.col("doc_id").alias("doc_y"),
+                              F.col("grams").alias("gy")).alias("s2"),
+                    F.col("dst") == F.col("s2.file_id")))
+    inter = F.size(F.array_intersect("gx", "gy")).cast("double")
+    union = F.size(F.array_union("gx", "gy")).cast("double")
+    return (joined
+            .withColumn("jaccard", inter / union)
+            .filter(F.col("jaccard") >= min_j)
+            .select(F.least("doc_x", "doc_y").alias("doc_a"),
+                    F.greatest("doc_x", "doc_y").alias("doc_b"),
+                    F.round("jaccard", 6).alias("jaccard")))
+
+
+def q_near_jaccard_edges(spark, sf):
+    return _exact_jaccard_edges(spark, sf)
+
+
+def q_near_exact_clusters(spark, sf):
+    """Connected components over the exact-Jaccard edge set, checked
+    against a DuckDB recursive-CTE min-label propagation — oracles the
+    LSH + connected-components core end to end."""
+    from sparkdedup.operators.components import connected_components
+    edges = (_exact_jaccard_edges(spark, sf)
+             .select(F.col("doc_a").alias("src"),
+                     F.col("doc_b").alias("dst")))
+    cc = connected_components(edges)
+    return cc.select(F.col("file_id").alias("doc_id"), "cluster_id")
 
 
 def q_srp_topk(spark, sf):
@@ -228,11 +318,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
         "cosine_topk": q_cosine_topk,
+        "containment_edges": q_containment_edges,
+        "near_jaccard_edges": q_near_jaccard_edges,
+        "near_exact_clusters": q_near_exact_clusters,
         # rows-only
         "minhash_signatures": q_minhash_signatures,
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
         "near_dup_clusters": q_near_dup_clusters,
-        "containment_edges": q_containment_edges,
         "srp_topk": q_srp_topk,
         "embedding_neardup": q_embedding_neardup,
         "media_features": q_media_features,
@@ -256,9 +348,13 @@ def oracle_sql() -> dict[str, str]:
     dot_cc = _DOT.format(a="c.embedding", b="c.embedding")
     return {
         "exact_dup_groups": """
+            WITH dup AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents)
             SELECT md5(text) AS content_hash, count(*) AS n_copies,
                    min(doc_id) AS rep_doc_id
-            FROM documents GROUP BY 1 HAVING count(*) > 1
+            FROM dup GROUP BY 1 HAVING count(*) > 1
         """,
         "dup_star_edges_bucket": """
             WITH d AS (
@@ -348,6 +444,64 @@ def oracle_sql() -> dict[str, str]:
             FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
             WHERE a.doc_id < 50
               AND len(list_distinct(list_concat(a.grams, b.grams))) > 0
+        """,
+        "containment_edges": """
+            WITH d AS (
+              SELECT doc_id, length(text) AS nc,
+                     trim(regexp_replace(text, '\\s+', ' ', 'g')) AS nt
+              FROM documents)
+            SELECT b.doc_id AS big_doc, a.doc_id AS small_doc,
+                   round(1.0 - CAST(length(a.nt) AS DOUBLE)
+                         / length(b.nt), 6) AS dist
+            FROM d a JOIN d b
+              ON a.nc >= 64 AND a.nc < b.nc AND a.doc_id <> b.doc_id
+             AND position(a.nt IN b.nt) > 0
+        """,
+        "near_jaccard_edges": """
+            WITH sh AS (
+              SELECT doc_id, list_distinct(list_transform(
+                       generate_series(1, greatest(length(nt) - 6, 1)),
+                       i -> substr(nt, i, 7))) AS grams
+              FROM (SELECT doc_id,
+                           trim(regexp_replace(text, '\\s+', ' ', 'g')) nt
+                    FROM documents))
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(CAST(len(list_intersect(a.grams, b.grams))
+                              AS DOUBLE)
+                         / len(list_distinct(list_concat(a.grams, b.grams))),
+                         6) AS jaccard
+            FROM sh a JOIN sh b
+              ON a.doc_id < b.doc_id
+             AND len(a.grams) * 10 >= len(b.grams) * 7
+             AND len(b.grams) * 10 >= len(a.grams) * 7
+            WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.7
+        """,
+        "near_exact_clusters": """
+            WITH RECURSIVE sh AS (
+              SELECT doc_id, list_distinct(list_transform(
+                       generate_series(1, greatest(length(nt) - 6, 1)),
+                       i -> substr(nt, i, 7))) AS grams
+              FROM (SELECT doc_id,
+                           trim(regexp_replace(text, '\\s+', ' ', 'g')) nt
+                    FROM documents)),
+            pairs AS (
+              SELECT a.doc_id AS u, b.doc_id AS v
+              FROM sh a JOIN sh b
+                ON a.doc_id < b.doc_id
+               AND len(a.grams) * 10 >= len(b.grams) * 7
+               AND len(b.grams) * 10 >= len(a.grams) * 7
+              WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.grams, b.grams)))
+                    >= 0.7),
+            edges AS (
+              SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+            cc(doc, lab) AS (
+              SELECT u, u FROM edges
+              UNION
+              SELECT e.v, c.lab FROM cc c JOIN edges e ON e.u = c.doc)
+            SELECT doc AS doc_id, min(lab) AS cluster_id
+            FROM cc GROUP BY doc
         """,
         "cosine_topk": f"""
             WITH scored AS (

@@ -123,7 +123,9 @@ class DedupConfig:
                 raise Exception('Invalid value for "processes" parameter: must be of type INT.')
             if self.processes < 1:
                 raise Exception('Invalid value for "processes" parameter: must be >= 1.')
-            if self.processes > (os.cpu_count() or 1) * 8:
+            # reference bound: dif.py:902-910 rejects processes above
+            # os.cpu_count(); the message now matches the check
+            if self.processes > (os.cpu_count() or 1):
                 raise Exception(
                     'Invalid value for "processes" parameter: must be <= the '
                     'number of CPU cores (os.cpu_count()).')

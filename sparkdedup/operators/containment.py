@@ -48,21 +48,19 @@ def build_suffix_array(s: bytes) -> np.ndarray:
         return np.array([], dtype=np.int64)
     rank = np.frombuffer(s, dtype=np.uint8).astype(np.int64)
     sa = np.argsort(rank, kind="stable")
-    tmp = np.empty(n, dtype=np.int64)
     k = 1
     while k < n:
         # sort by (rank[i], rank[i+k]) using lexsort
         second = np.full(n, -1, dtype=np.int64)
         second[: n - k] = rank[k:]
         sa = np.lexsort((second, rank))
-        tmp[sa[0]] = 0
-        prev = sa[0]
-        for idx in range(1, n):
-            cur = sa[idx]
-            tmp[cur] = tmp[prev] + (
-                (rank[cur] != rank[prev]) or (second[cur] != second[prev]))
-            prev = cur
-        rank = tmp.copy()
+        # vectorized rank assignment: a suffix starts a new rank class
+        # iff its (rank, second) key differs from its sorted predecessor
+        keys_changed = ((rank[sa[1:]] != rank[sa[:-1]])
+                        | (second[sa[1:]] != second[sa[:-1]]))
+        tmp = np.empty(n, dtype=np.int64)
+        tmp[sa] = np.concatenate(([0], np.cumsum(keys_changed)))
+        rank = tmp
         if rank[sa[-1]] == n - 1:
             break
         k *= 2
@@ -123,8 +121,13 @@ def containment_candidates(sigs: DataFrame, cfg: DedupConfig) -> DataFrame:
              .filter(F.col("small_id") != F.col("big_id"))
              .groupBy("small_id", "big_id", "small_chars", "big_chars")
              .agg(F.count(F.lit(1)).alias("_agree")))
+    # >= 1, not >= 2: low-entropy short files can collapse to a single
+    # unique anchor (all their shingles repeat); requiring two anchors
+    # silently loses their containers. Precision is unaffected — the
+    # suffix-array verify is exact — and fan-out stays bounded by
+    # contain_df_cap^2 pairs per anchor.
     return (agree.join(n_rare, "small_id")
-            .filter((F.col("_n_rare") >= 2)
+            .filter((F.col("_n_rare") >= 1)
                     & (F.col("_agree")
                        >= F.ceil(F.col("_n_rare")
                                  * F.lit(cfg.contain_agree_frac))))

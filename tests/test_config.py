@@ -53,6 +53,11 @@ def test_processes_and_chunksize():
     with pytest.raises(Exception, match="INT or None"):
         DedupConfig(chunksize="big")
     DedupConfig(processes=2, chunksize=100)  # valid
+    # reference parity (dif.py:902-910): one above cpu_count is rejected
+    # with the reference's own error message
+    import os
+    with pytest.raises(Exception, match="number of CPU cores"):
+        DedupConfig(processes=(os.cpu_count() or 1) + 1)
 
 
 def test_duplicate_tables_rejected():
