@@ -86,7 +86,8 @@ def sa_contains(text: bytes, sa: np.ndarray, pattern: bytes) -> bool:
     return text[start:start + m] == pattern
 
 
-def containment_candidates(sigs: DataFrame, cfg: DedupConfig) -> DataFrame:
+def containment_candidates(sigs: DataFrame, cfg: DedupConfig,
+                           handles: list | None = None) -> DataFrame:
     """Anchor-index join -> candidate (small_id, big_id) pairs.
 
     Anchors are the uniform 1/``anchor_mod`` sample of shingle space
@@ -109,6 +110,8 @@ def containment_candidates(sigs: DataFrame, cfg: DedupConfig) -> DataFrame:
             .filter(F.col("_df") <= cfg.contain_df_cap)
             .drop("_df")
             .persist())
+    if handles is not None:
+        handles.append(rare)  # caller unpersists via SearchResult.release()
     probe = (rare.filter(F.col("n_chars") >= cfg.min_contain_chars)
              .select(F.col("file_id").alias("small_id"),
                      F.col("n_chars").alias("small_chars"), "h"))
@@ -179,5 +182,7 @@ def verify_containment(cands: DataFrame, sigs: DataFrame) -> DataFrame:
     return joined.mapInPandas(check, schema=_VERIFY_SCHEMA)
 
 
-def containment_edges(sigs: DataFrame, cfg: DedupConfig) -> DataFrame:
-    return verify_containment(containment_candidates(sigs, cfg), sigs)
+def containment_edges(sigs: DataFrame, cfg: DedupConfig,
+                      handles: list | None = None) -> DataFrame:
+    return verify_containment(containment_candidates(sigs, cfg, handles),
+                              sigs)

@@ -162,17 +162,21 @@ def resumable_run(spark: SparkSession, cfg: DedupConfig,
     _check("signatures")
 
     def edges_build() -> DataFrame:
+        # Mirror pipeline.search_clusters exactly: reps computed ONCE and
+        # shared by the near and containment branches. Containment must
+        # run on _distinct_reps even at threshold 0 (the CLI default) —
+        # exact-dup mass would otherwise push anchor document frequency
+        # past contain_df_cap and silently lose containment edges that a
+        # non-resumable run finds (round-2 advice).
         e = exact_edges(sigs, cfg).withColumn("gen", F.lit("exact"))
-        if cfg.threshold > 0:
-            reps = _distinct_reps(sigs, cfg)
-            near = jaccard_edges(
-                hamming_filter(dedup_pairs(candidate_pairs(reps, cfg)), cfg),
-                reps, cfg)
-            e = e.unionByName(near)
+        reps = _distinct_reps(sigs, cfg)
+        near = jaccard_edges(
+            hamming_filter(dedup_pairs(candidate_pairs(reps, cfg)), cfg),
+            reps, cfg)
+        e = e.unionByName(near)
         if cfg.containment:
-            reps_c = _distinct_reps(sigs, cfg) if cfg.threshold > 0 else sigs
             e = e.unionByName(
-                containment_edges(reps_c, cfg).withColumn(
+                containment_edges(reps, cfg).withColumn(
                     "gen", F.lit("contain")))
         return e.groupBy("src", "dst").agg(
             F.min("dist").alias("dist"),

@@ -26,6 +26,7 @@ import json
 import logging
 import time
 from dataclasses import dataclass, field
+from datetime import datetime
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -93,6 +94,23 @@ class SearchResult:
     ranked: DataFrame         # (cluster_id, file_id, repo, path, n_chars, rn, is_keep)
     invalid: DataFrame        # (repo, path, commit, reason)
     _timings: dict = field(default_factory=dict)
+    _persisted: list = field(default_factory=list)
+    _n_files: int = 0         # valid files searched (difPy files_searched)
+    _durations: dict = field(default_factory=dict)  # build/search ISO spans
+
+    def release(self) -> None:
+        """Unpersist every DataFrame the search pinned (sigs, reps,
+        edges, the containment anchor index) — repeated searches in one
+        session must not accumulate executor storage."""
+        for df in self._persisted:
+            df.unpersist()
+        self._persisted.clear()
+
+    def __enter__(self) -> "SearchResult":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.release()
 
     @property
     def lower_quality_df(self) -> DataFrame:
@@ -141,37 +159,68 @@ class SearchResult:
                 out[primary["path"]] = matches
         return out
 
-    def stats(self) -> dict:
-        """difPy-shaped stats document (O18, dif.py:744-805;
-        docs/getting_started/output.rst:74-104) — one aggregation job."""
+    def stats(self, max_invalid_logs: int = 10_000) -> dict:
+        """difPy-shaped stats document (O18, dif.py:744-805) with the
+        documented key structure (docs/getting_started/output.rst:74-104):
+        ``directory`` / ``total_files`` / ``invalid_files.count+logs`` /
+        ``process.build|search.duration{start,end,seconds_elapsed}`` +
+        ``parameters`` / ``files_searched`` / ``matches_found``.
+
+        One aggregation job over the edge set plus small counts. The
+        per-file invalid log is capped at ``max_invalid_logs`` entries
+        (``count`` stays exact) — difPy collects all of them, which is
+        driver-unsafe at 10^12-file scale; deliberate deviation.
+        Engine-specific extras live under the additive ``results`` key.
+        """
         agg = self.edges.groupBy("kind", "gen" if "gen" in
                                  self.edges.columns else F.lit("-")).count()
         edge_rows = [r.asDict() for r in agg.collect()]
         n_matched = self.clusters.count()
         n_clusters = self.clusters.select("cluster_id").distinct().count()
         n_invalid = self.invalid.count()
+        inv_rows = self.invalid.limit(max_invalid_logs).collect()
+        logs = {f"{r['repo']}/{r['path']}": r["reason"] for r in inv_rows}
         dup = sum(r["count"] for r in edge_rows if r["kind"] == "exact")
         near = sum(r["count"] for r in edge_rows if r["kind"] == "near")
         contained = sum(r["count"] for r in edge_rows
                         if r["kind"] == "contained")
         capped = sum(r["count"] for r in edge_rows
                      if r.get("gen") == "star")
+        cfg = self.cfg
         return {
+            "directory": list(cfg.tables),
+            "total_files": self._n_files + n_invalid,
+            "invalid_files": {"count": n_invalid, "logs": logs},
             "process": {
-                "search": {
+                "build": {
+                    "duration": self._durations.get("build", {}),
                     "parameters": {
-                        "similarity_mse": self.cfg.threshold,
-                        "shingle_k": self.cfg.shingle_k,
-                        "num_perm": self.cfg.num_perm,
-                        "num_bands": self.cfg.num_bands,
-                        "containment": self.cfg.containment,
-                        "same_dim": self.cfg.same_dim,
-                        "in_folder": self.cfg.in_folder,
+                        "recursive": cfg.recursive,
+                        "in_folder": cfg.in_folder,
+                        "limit_extensions": cfg.limit_extensions,
+                        # px_size ≙ signature resolution (config.py map)
+                        "px_size": cfg.num_perm,
+                        "shingle_k": cfg.shingle_k,
+                        "processes": cfg.processes,
                     },
+                },
+                "search": {
+                    "duration": self._durations.get("search", {}),
+                    "parameters": {
+                        "similarity_mse": cfg.threshold,
+                        "rotate": cfg.containment,
+                        "same_dim": cfg.same_dim,
+                        "processes": cfg.processes,
+                        "chunksize": cfg.chunksize,
+                        "num_perm": cfg.num_perm,
+                        "num_bands": cfg.num_bands,
+                        "in_folder": cfg.in_folder,
+                    },
+                    "files_searched": self._n_files,
+                    "matches_found": {"duplicates": dup, "similar": near},
                     "timings_sec": self._timings,
                 },
             },
-            "invalid_files": {"count": n_invalid},
             "results": {
                 "matched_files": n_matched,
                 "clusters": n_clusters,
@@ -208,26 +257,31 @@ def search_clusters(sigs: DataFrame, invalid: DataFrame,
     """
     timings: dict[str, float] = {}
     t0 = time.monotonic()
+    build_start = datetime.now()
 
     sigs = sigs.persist()
     n_sigs = sigs.count()  # materialize: ONE featurize pass feeds all branches
+    build_end = datetime.now()
     log.info("search: %d signatures materialized", n_sigs)
     edges = exact_edges(sigs, cfg).withColumn("gen", F.lit("exact"))
 
-    reps = None
-    if cfg.threshold > 0 or cfg.containment:
-        reps = _distinct_reps(sigs, cfg).persist()
-        log.info("search: %d distinct-content representatives", reps.count())
+    reps = _distinct_reps(sigs, cfg).persist()
+    log.info("search: %d distinct-content representatives", reps.count())
 
-    if cfg.threshold > 0:
-        near = jaccard_edges(
-            hamming_filter(dedup_pairs(candidate_pairs(reps, cfg)), cfg),
-            reps, cfg)
-        edges = edges.unionByName(near)
+    # The near stage runs at threshold 0 too: difPy's 'duplicates' is
+    # MSE == 0, which matches files that are not byte-identical
+    # (dif.py:450,461); here dist <= 0 admits pairs whose MinHash agrees
+    # on every lane (whitespace-normalized / shingle-set-equal files)
+    # that sha256 grouping alone would miss.
+    near = jaccard_edges(
+        hamming_filter(dedup_pairs(candidate_pairs(reps, cfg)), cfg),
+        reps, cfg)
+    edges = edges.unionByName(near)
 
+    persisted = [sigs, reps]
     if cfg.containment:
-        cont = containment_edges(reps, cfg).withColumn("gen",
-                                                       F.lit("contain"))
+        cont = containment_edges(reps, cfg, handles=persisted).withColumn(
+            "gen", F.lit("contain"))
         edges = edges.unionByName(cont)
 
     edges = edges.groupBy("src", "dst").agg(
@@ -235,6 +289,7 @@ def search_clusters(sigs: DataFrame, invalid: DataFrame,
         F.min_by("kind", "dist").alias("kind"),
         F.min("gen").alias("gen"),
     ).persist()
+    persisted.append(edges)
     timings["plan_edges"] = time.monotonic() - t0
 
     t1 = time.monotonic()
@@ -245,8 +300,22 @@ def search_clusters(sigs: DataFrame, invalid: DataFrame,
 
     ranked = rank_clusters(clusters,
                            sigs.select("file_id", "repo", "path", "n_chars"))
+    search_end = datetime.now()
+    durations = {"build": _duration(build_start, build_end),
+                 # search window ends when planning + CC complete; the
+                 # lazily-consumed ranked/result outputs execute later
+                 "search": _duration(build_end, search_end)}
     return SearchResult(cfg=cfg, edges=edges, clusters=clusters,
-                        ranked=ranked, invalid=invalid, _timings=timings)
+                        ranked=ranked, invalid=invalid, _timings=timings,
+                        _persisted=persisted, _n_files=n_sigs,
+                        _durations=durations)
+
+
+def _duration(start: datetime, end: datetime) -> dict:
+    """difPy duration block (dif.py:764-768): ISO-8601 start/end +
+    rounded seconds_elapsed."""
+    return {"start": start.isoformat(), "end": end.isoformat(),
+            "seconds_elapsed": round((end - start).total_seconds(), 4)}
 
 
 def run(spark: SparkSession, cfg: DedupConfig,

@@ -3,6 +3,8 @@ table (O15, O18, O19-O21)."""
 
 from __future__ import annotations
 
+from datetime import datetime
+
 from sparkdedup.config import DedupConfig
 from sparkdedup.corpus import files_table
 from sparkdedup.plans.pipeline import run as run_pipeline
@@ -39,17 +41,40 @@ def test_result_in_folder_nests_by_repo(spark):
 def test_stats_schema(spark):
     res, cfg = _res(spark)
     s = res.stats()
-    # mirrors the reference's documented stats layout
-    # (docs/getting_started/output.rst:74-104): process params + results
-    params = s["process"]["search"]["parameters"]
-    assert params["similarity_mse"] == cfg.threshold
-    assert params["num_perm"] == cfg.num_perm
+    # key-structure parity with the reference's documented stats layout
+    # (docs/getting_started/output.rst:74-104, dif.py:748-805)
+    assert isinstance(s["directory"], list)
+    assert isinstance(s["total_files"], int)
+    assert s["total_files"] == (s["process"]["search"]["files_searched"]
+                                + s["invalid_files"]["count"])
+    inv = s["invalid_files"]
+    assert isinstance(inv["count"], int)
+    assert isinstance(inv["logs"], dict)
+    assert len(inv["logs"]) <= inv["count"]
+    for reason in inv["logs"].values():
+        assert isinstance(reason, str)
+    for proc in ("build", "search"):
+        dur = s["process"][proc]["duration"]
+        # ISO-8601 start/end round-trip + elapsed
+        datetime.fromisoformat(dur["start"])
+        datetime.fromisoformat(dur["end"])
+        assert dur["seconds_elapsed"] >= 0
+        assert isinstance(s["process"][proc]["parameters"], dict)
+    bp = s["process"]["build"]["parameters"]
+    assert set(bp) >= {"recursive", "in_folder", "limit_extensions",
+                       "px_size", "processes"}
+    sp = s["process"]["search"]["parameters"]
+    assert set(sp) >= {"similarity_mse", "rotate", "same_dim",
+                       "processes", "chunksize"}
+    assert sp["similarity_mse"] == cfg.threshold
+    assert sp["rotate"] == cfg.containment
+    mf = s["process"]["search"]["matches_found"]
+    assert set(mf) == {"duplicates", "similar"}
     r = s["results"]
     for key in ("matched_files", "clusters", "duplicate_pairs",
                 "similar_pairs", "contained_pairs", "capped_star_pairs"):
         assert isinstance(r[key], int)
     assert r["matched_files"] >= r["clusters"]
-    assert isinstance(s["invalid_files"]["count"], int)
     assert res.stats_json().startswith("{")
 
 

@@ -34,6 +34,26 @@ def test_uninterrupted_equals_plain_pipeline(spark, tmp_path):
     assert _clusters(res) == _clusters(plain)
 
 
+def test_resumable_containment_matches_plain(spark, tmp_path):
+    """Regression (round-2 advice): resumable_run at the CLI default
+    (similarity='duplicates', containment on) must produce the SAME
+    edges/clusters as the plain pipeline — containment has to run on
+    _distinct_reps, not the full signature table."""
+    from sparkdedup.plans.pipeline import run as plain_run
+    cfg = DedupConfig(similarity="duplicates", containment=True,
+                      work_dir=str(tmp_path), num_ingest_buckets=4)
+    files = files_table(spark, n=N, seed=42)
+    res, _ = resumable_run(spark, cfg, files)
+    plain = plain_run(spark, cfg, files)
+    assert _clusters(res) == _clusters(plain)
+    res_edges = sorted((r["src"], r["dst"], r["kind"])
+                       for r in res.edges.collect())
+    plain_edges = sorted((r["src"], r["dst"], r["kind"])
+                         for r in plain.edges.collect())
+    assert res_edges == plain_edges
+    assert any(k == "contained" for _, _, k in plain_edges)
+
+
 @pytest.mark.parametrize("kill_stage",
                          ["invalid", "signatures", "edges", "clusters"])
 def test_kill_and_resume_identical(spark, tmp_path, kill_stage):
