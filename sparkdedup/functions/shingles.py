@@ -123,12 +123,26 @@ def signature_of(text: str, k: int, num_perm: int, seed: int,
     return mh, simhash, int(h.size), anch.view(np.int64)
 
 
+#: MinHash travels as ONE binary column (num_perm little-endian uint64
+#: lanes), not array<long>: the Arrow list<int64> + pandas object-column
+#: conversion was ~3x the numpy kernel cost (round-1 bench); a bytes
+#: buffer converts flat. JVM consumers slice it with substring()
+#: (operators/lsh.py band keys, operators/verify.py lane agreement).
 SIGNATURE_FIELDS = T.StructType([
-    T.StructField("minhash", T.ArrayType(T.LongType()), False),
+    T.StructField("minhash", T.BinaryType(), False),
     T.StructField("simhash", T.LongType(), False),
     T.StructField("n_shingles", T.LongType(), False),
     T.StructField("anchors", T.ArrayType(T.LongType()), False),
 ])
+
+
+def pack_minhash(mh: np.ndarray) -> bytes:
+    """num_perm int64 lanes -> little-endian bytes (8 bytes per lane)."""
+    return mh.astype("<i8", copy=False).tobytes()
+
+
+def unpack_minhash(b: bytes) -> np.ndarray:
+    return np.frombuffer(b, dtype="<i8")
 
 
 def make_signature_udf(cfg: DedupConfig):
@@ -148,7 +162,7 @@ def make_signature_udf(cfg: DedupConfig):
         for text in content:
             mh, sh, n, anc = signature_of(text or "", k, num_perm, seed,
                                           anchor_mod, max_anchors, params)
-            mhs.append(mh)
+            mhs.append(pack_minhash(mh))
             sims.append(sh)
             counts.append(n)
             anchors.append(anc)

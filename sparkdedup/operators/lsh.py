@@ -33,11 +33,15 @@ from sparkdedup.config import DedupConfig
 
 def band_hashes(cfg: DedupConfig) -> F.Column:
     """array<bigint> of per-band xxhash64 over minhash lane slices —
-    JVM-side (no Python) via transform+slice+xxhash64."""
-    r = cfg.rows_per_band
+    JVM-side (no Python). The minhash is a packed binary column
+    (functions/shingles.py), so a band slice is a substring of
+    rows_per_band * 8 bytes."""
+    nbytes = cfg.rows_per_band * 8
     return F.transform(
         F.sequence(F.lit(0), F.lit(cfg.num_bands - 1)),
-        lambda i: F.xxhash64(F.slice(F.col("minhash"), i * r + 1, r), i),
+        lambda i: F.xxhash64(
+            F.substring(F.col("minhash"), i * F.lit(nbytes) + 1,
+                        F.lit(nbytes)), i),
     )
 
 

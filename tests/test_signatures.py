@@ -9,7 +9,8 @@ from hypothesis import strategies as st
 
 from sparkdedup.config import DedupConfig
 from sparkdedup.functions.shingles import (minhash_params, normalize_text,
-                                           shingle_hashes, signature_of,
+                                           pack_minhash, shingle_hashes,
+                                           signature_of, unpack_minhash,
                                            with_signature)
 
 CFG = dict(k=7, num_perm=128, seed=42, anchor_mod=32, max_anchors=512)
@@ -98,7 +99,8 @@ def test_spark_udf_matches_kernel(spark):
                                        cfg.seed, cfg.anchor_mod,
                                        cfg.max_anchors, params)
         got = out[path]
-        assert got["minhash"] == mh.tolist()
+        assert bytes(got["minhash"]) == pack_minhash(mh)
+        assert unpack_minhash(bytes(got["minhash"])).tolist() == mh.tolist()
         assert got["simhash"] == sim
         assert got["n_shingles"] == n
         assert got["anchors"] == anc.tolist()
