@@ -287,13 +287,15 @@ def q_near_exact_clusters(spark, sf):
 
 def q_srp_topk(spark, sf):
     e = _emb(spark, sf)
+    # n_bits=None: derived from the corpus count (round-1 verdict —
+    # fixed bucket-bit counts are a quadratic blowup at scale)
     return lsh_cosine_topk(e, e.filter(F.col("vec_id") < 5), dim=64, k=3,
-                           n_bits=8, n_tables=4)
+                           n_bits=None, n_tables=4)
 
 
 def q_embedding_neardup(spark, sf):
     return embedding_neardup_edges(_emb(spark, sf), dim=64, threshold=0.2,
-                                   n_bits=6, n_tables=8)
+                                   n_bits=None, n_tables=8)
 
 
 def q_media_features(spark, sf):

@@ -64,6 +64,73 @@ def test_embedding_neardup_finds_planted(emb):
     assert (0, 50) in pairs and (1, 51) in pairs
 
 
+def test_derive_n_bits_scales_with_corpus():
+    from sparkdedup.operators.similarity import derive_n_bits
+    assert derive_n_bits(500) == 6            # ~8 vectors per bucket
+    assert derive_n_bits(1_000_000) == 17
+    assert derive_n_bits(10) >= 4             # floor
+    assert derive_n_bits(10**12) <= 24        # ceiling
+    assert derive_n_bits(4 * 500) >= derive_n_bits(500)
+
+
+def test_srp_candidates_bounded_under_skew(spark):
+    """100k vectors with a 5,000-copy skew cluster: candidate pair
+    materialization must stay LINEAR-ish (star fallback), never the
+    B(B-1)/2 ~ 12.5M-per-table blowup, while planted near-dups and the
+    skew cluster itself stay connected (round-1 verdict item 5)."""
+    import pandas as pd
+
+    from sparkdedup.operators.similarity import (derive_n_bits,
+                                                 srp_candidate_pairs)
+
+    n = 100_000
+
+    from sparkdedup.functions.shingles import _splitmix64
+
+    def gen(batches):
+        for b in batches:
+            ids = b["id"].to_numpy()
+            eff = ids.copy()
+            eff[eff < 5000] = 17          # skew: one shared vector
+            eff[eff == 90002] = 90001     # planted near-dup pair
+            # hash-based iid-ish components (sin-of-index vectors lie on
+            # a 1-d manifold and collapse every bucket)
+            cells = (eff[:, None].astype(np.uint64)
+                     * np.uint64(0x9E3779B97F4A7C15)
+                     + np.arange(1, 17, dtype=np.uint64)[None, :]
+                     * np.uint64(0xBF58476D1CE4E5B9))
+            h = _splitmix64(cells)
+            mat = (h >> np.uint64(11)).astype(np.float64) * 2.0**-52 - 1.0
+            yield pd.DataFrame({"vec_id": ids,
+                                "embedding": list(mat.astype(np.float32))})
+
+    corpus = spark.range(n, numPartitions=16).mapInPandas(
+        gen, "vec_id long, embedding array<float>")
+    n_bits = derive_n_bits(n)
+    assert n_bits == 14
+    cap = 64
+    cands = srp_candidate_pairs(corpus, dim=16, n_bits=n_bits, n_tables=2,
+                                bucket_cap=cap, seed=137).persist()
+    total = cands.count()
+    stars = cands.filter(F.col("gen") == "star").count()
+    # uncapped the skew bucket alone is ~12.5M pairs/table; the capped
+    # path stays well under 20 pairs/vector
+    assert total < 20 * n
+    assert stars > 0
+    pairs = set()
+    skew_nodes = set()
+    for r in cands.filter((F.col("src") < 5000) | (F.col("dst") >= 90000)
+                          ).collect():
+        pairs.add((r["src"], r["dst"]))
+        if r["src"] < 5000:
+            skew_nodes.add(r["src"])
+        if r["dst"] < 5000:
+            skew_nodes.add(r["dst"])
+    assert (90001, 90002) in pairs            # planted pair recalled
+    assert len(skew_nodes) == 5000            # skew cluster fully covered
+    cands.unpersist()
+
+
 def test_media_features_plumbing(spark):
     docs = spark.createDataFrame(
         [(1, "text one", "en", "s", 8), (2, "", "en", "s", 0)],
