@@ -32,11 +32,13 @@ def _large_star(edges: DataFrame) -> DataFrame:
                                       F.col("u").alias("v"))))
     w = Window.partitionBy("u")
     m = F.least(F.min("v").over(w), F.col("u"))
+    # no dropDuplicates here: duplicate edges don't change the window
+    # min, small-star dedups at the end of the round — one fewer
+    # shuffle per round (round-2 job-count reduction)
     return (both.withColumn("m", m)
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .filter(F.col("u") != F.col("v"))
-            .dropDuplicates(["u", "v"]))
+            .filter(F.col("u") != F.col("v")))
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
@@ -68,23 +70,26 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     fingerprint — an aggregated count, not data.
     """
     spark = edges.sparkSession
+    # LAZY localCheckpoint: the fingerprint aggregate is the action that
+    # materializes each round's checkpoint — one driver round-trip per
+    # round instead of two (eager checkpoint + separate fingerprint).
     g = (edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
          .filter(F.col("u") != F.col("v"))
          .dropDuplicates(["u", "v"])
-         .localCheckpoint(eager=True))
+         .localCheckpoint(eager=False))
     # The edge graph is typically orders of magnitude smaller than the
     # corpus; iterate at a partition count matched to it, not to the
     # corpus-sized session default (each round is several jobs — tiny
     # partitions make the loop pure scheduling overhead).
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    n_edges = g.count()
+    prev = _fingerprint(g)
+    n_edges = prev[0]
     cc_parts = max(spark.sparkContext.defaultParallelism,
                    min(int(old_parts), n_edges // 100_000 + 1))
     spark.conf.set("spark.sql.shuffle.partitions", str(cc_parts))
     try:
-        prev = _fingerprint(g)
         for _ in range(max_iter):
-            g = _small_star(_large_star(g)).localCheckpoint(eager=True)
+            g = _small_star(_large_star(g)).localCheckpoint(eager=False)
             cur = _fingerprint(g)
             if cur == prev:
                 break

@@ -80,24 +80,37 @@ def candidate_pairs(sigs: DataFrame, cfg: DedupConfig) -> DataFrame:
              .withColumn("_root", F.min(F.struct("file_id", "simhash")).over(w))
              .filter(F.col("_n") > 1))
 
+    # Small buckets: pairs come from a groupBy on the SAME key the
+    # window just hash-partitioned on (exchange reuse — no new shuffle)
+    # plus a JVM higher-order cross-product over the collected bucket,
+    # bounded by band_pair_cap members. This replaces the former bucket
+    # self-join: one fewer join stage per query, identical output.
     small = bands.filter(F.col("_n") <= cfg.band_pair_cap)
-    a, b = small.alias("a"), small.alias("b")
-    join_cond = [F.col(f"a.{k}") == F.col(f"b.{k}") for k in keys]
-    join_cond.append(F.col("a.file_id") < F.col("b.file_id"))
-    # SimHash Hamming cut INSIDE the join predicate: marginal-similarity
+    grouped = small.groupBy(*keys).agg(
+        F.sort_array(F.collect_list(F.struct("file_id", "simhash")))
+        .alias("_ms"))
+    ms = F.col("_ms")
+    raw_pairs = F.flatten(F.transform(
+        ms, lambda x, i: F.transform(
+            F.slice(ms, i + F.lit(2), F.lit(cfg.band_pair_cap)),
+            lambda y: F.struct(x["file_id"].alias("src"),
+                               y["file_id"].alias("dst"),
+                               x["simhash"].alias("simhash_src"),
+                               y["simhash"].alias("simhash_dst")))))
+    # SimHash Hamming cut INSIDE the pair expansion: marginal-similarity
     # pairs die during the bucket cross-product instead of being
     # materialized into the dedup shuffle (difPy's cheap-predicate-first
     # pattern, dif.py:441-449, at the physical-plan level).
-    join_cond.append(
-        F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    kept = F.filter(
+        raw_pairs,
+        lambda p: F.bit_count(p["simhash_src"].bitwiseXOR(p["simhash_dst"]))
         <= cfg.simhash_ham_max)
-    pairs_small = a.join(b, join_cond).select(
-        F.col("a.file_id").alias("src"),
-        F.col("b.file_id").alias("dst"),
-        F.col("a.simhash").alias("simhash_src"),
-        F.col("b.simhash").alias("simhash_dst"),
-        F.lit("allpairs").alias("gen"),
-    )
+    pairs_small = (grouped.select(F.explode(kept).alias("_p"))
+                   .select(F.col("_p.src").alias("src"),
+                           F.col("_p.dst").alias("dst"),
+                           F.col("_p.simhash_src").alias("simhash_src"),
+                           F.col("_p.simhash_dst").alias("simhash_dst"),
+                           F.lit("allpairs").alias("gen")))
 
     big = bands.filter(F.col("_n") > cfg.band_pair_cap)
     pairs_star = (big.filter(F.col("file_id") != F.col("_root.file_id"))
