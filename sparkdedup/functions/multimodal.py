@@ -55,18 +55,44 @@ def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
     return vec / np.linalg.norm(vec)
 
 
+def _pil_decode(payload: bytes, px_size: int) -> np.ndarray:
+    """REAL image decode — the reference's exact recipe
+    (dif.py:229-248): open -> RGB -> bicubic resize to px_size^2 ->
+    uint8 tensor, flattened to float32 in [0, 1]. Importable only where
+    Pillow exists (not this sandbox); the seam and its error contract
+    are exercised by tests gated on ``pytest.importorskip('PIL')``."""
+    import io
+
+    from PIL import Image  # optional dependency: the decoder seam
+
+    img = Image.open(io.BytesIO(payload)).convert("RGB")
+    img = img.resize((px_size, px_size), resample=Image.BICUBIC)
+    arr = np.asarray(img, dtype=np.uint8)
+    return (arr.astype(np.float32) / 255.0).reshape(-1)
+
+
 def media_features(media: DataFrame, dim: int = 32,
-                   fake: bool = True) -> DataFrame:
+                   fake: bool = True, px_size: int = 8) -> DataFrame:
     """Decode + featurize media rows via mapInPandas (Arrow batches).
 
-    ``fake=False`` requires real codecs (PIL/ffmpeg) — not available in
-    this environment — and deliberately raises ``NotImplementedError``
-    inside the task so the stub is impossible to mistake for a decoder.
-    Decode FAILURES (null payload) go to the ``error`` column, the
+    ``fake=True`` uses the deterministic fake decoder (payload-hash unit
+    vector of ``dim``). ``fake=False`` is the REAL decoder seam: PIL
+    open -> RGB -> bicubic ``px_size``^2 resize, the reference's own
+    recipe — it imports Pillow inside the task and raises
+    ``NotImplementedError`` where Pillow is absent (this sandbox), so
+    the stub is impossible to mistake for a decoder. Per-row decode
+    FAILURES (null/corrupt payload) go to the ``error`` column, the
     invalid-file side-output pattern (dif.py:243-248).
     """
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not fake:
+            try:
+                import PIL  # noqa: F401  (probe once per task, not per row)
+            except ImportError as exc:
+                raise NotImplementedError(
+                    "real media decoding requires Pillow; not available "
+                    "in this environment") from exc
         for b in batches:
             rows = {"media_id": [], "kind": [], "feature": [], "error": []}
             for mid, kind, payload in zip(b["media_id"], b["kind"],
@@ -77,11 +103,19 @@ def media_features(media: DataFrame, dim: int = 32,
                     rows["feature"].append(None)
                     rows["error"].append("Invalid or corrupted file")
                     continue
-                if not fake:
-                    raise NotImplementedError(
-                        "real media decoding requires PIL/ffmpeg; "
-                        "not available in this environment")
-                rows["feature"].append(_fake_decode(bytes(payload), dim))
+                try:
+                    if fake:
+                        feat = _fake_decode(bytes(payload), dim)
+                    else:
+                        feat = _pil_decode(bytes(payload), px_size)
+                except NotImplementedError:
+                    raise
+                except Exception:
+                    # undecodable payload -> side output, job survives
+                    rows["feature"].append(None)
+                    rows["error"].append("Invalid or corrupted file")
+                    continue
+                rows["feature"].append(feat)
                 rows["error"].append(None)
             yield pd.DataFrame(rows)
 

@@ -182,7 +182,32 @@ def verify_containment(cands: DataFrame, sigs: DataFrame) -> DataFrame:
     return joined.mapInPandas(check, schema=_VERIFY_SCHEMA)
 
 
+def anchor_subset_gate(cands: DataFrame, sigs: DataFrame,
+                       cfg: DedupConfig) -> DataFrame:
+    """Precision gate between candidate gen and the (content-heavy)
+    suffix-array verify: TRUE containment implies anchors(small) is a
+    subset of anchors(big) whenever big's anchor sketch is uncapped
+    (anchors are pure functions of content; every k-gram of a contained
+    text is a k-gram of its container). Requiring the FULL subset on the
+    complete anchor arrays (array_intersect, <=max_anchors ints a side)
+    kills near-miss candidates before their contents are ever joined —
+    zero recall loss by construction. Capped big sides (>=max_anchors)
+    skip the gate: their kept smallest-512 set may legitimately miss
+    small's anchors."""
+    anch = sigs.select("file_id", "anchors")
+    return (cands
+            .join(anch.withColumnRenamed("anchors", "_sa"),
+                  cands["small_id"] == anch["file_id"]).drop("file_id")
+            .join(anch.withColumnRenamed("anchors", "_ba").alias("a2"),
+                  F.col("big_id") == F.col("a2.file_id")).drop("file_id")
+            .filter((F.size("_ba") >= cfg.max_anchors)
+                    | (F.size(F.array_intersect("_sa", "_ba"))
+                       == F.size("_sa")))
+            .drop("_sa", "_ba"))
+
+
 def containment_edges(sigs: DataFrame, cfg: DedupConfig,
                       handles: list | None = None) -> DataFrame:
-    return verify_containment(containment_candidates(sigs, cfg, handles),
-                              sigs)
+    cands = anchor_subset_gate(
+        containment_candidates(sigs, cfg, handles), sigs, cfg)
+    return verify_containment(cands, sigs)

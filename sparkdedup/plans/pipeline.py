@@ -76,11 +76,16 @@ def _distinct_reps(sigs: DataFrame, cfg: DedupConfig) -> DataFrame:
     call)."""
     keys = ["sha256"] + (["repo"] if cfg.in_folder else [])
     w = Window.partitionBy(*keys)
-    rep_ids = (sigs.select("file_id", *keys)
-               .withColumn("_root", F.min("file_id").over(w))
-               .filter(F.col("file_id") == F.col("_root"))
-               .select("file_id"))
-    return sigs.join(rep_ids, "file_id")
+    # anti-join on the LOSERS (non-representative members of dup groups)
+    # instead of inner-joining the representative ids: losers are the
+    # strictly smaller side (only dup-group members beyond the first),
+    # so Catalyst can broadcast them and the wide signature rows never
+    # shuffle; the window itself runs on a 40 B/row projection.
+    losers = (sigs.select("file_id", *keys)
+              .withColumn("_root", F.min("file_id").over(w))
+              .filter(F.col("file_id") != F.col("_root"))
+              .select("file_id"))
+    return sigs.join(losers, "file_id", "left_anti")
 
 
 @dataclass

@@ -153,6 +153,32 @@ def test_media_real_decoder_is_stubbed(spark):
         media_features(documents_as_media(docs), dim=8, fake=False).collect()
 
 
+def test_media_pil_decoder_seam(spark):
+    """Real-decoder seam: runs only where Pillow is installed (not this
+    sandbox). Verifies the reference recipe (RGB + bicubic px^2) and the
+    per-row corrupt-payload side output."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (13, 9), (250, 10, 20)).save(buf, format="PNG")
+    rows = [(1, "image", "image/png", bytearray(buf.getvalue()),
+             None, None, None),
+            (2, "image", "image/png", bytearray(b"not an image"),
+             None, None, None)]
+    from sparkdedup.functions.multimodal import MEDIA_SCHEMA
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r
+           for r in media_features(media, fake=False, px_size=4).collect()}
+    assert got[1]["error"] is None
+    assert len(got[1]["feature"]) == 4 * 4 * 3
+    assert abs(got[1]["feature"][0] - 250 / 255) < 0.02  # red channel
+    assert got[2]["feature"] is None
+    assert got[2]["error"] == "Invalid or corrupted file"
+
+
 def test_text_functions(spark):
     df = spark.createDataFrame(
         [("the cat and the dog sat on the mat",),
