@@ -31,8 +31,11 @@ PARTITIONS = 128          # identical physical plan at every level
 #: levels below the single-socket memory-bandwidth saturation point —
 #: the honest sandbox analogue of adding executor NODES (each node
 #: brings its own memory bus); the (8, 32) pair documents the
-#: saturation ceiling of one socket.
-PAIRS = [((2, 8), 600_000), ((8, 32), 1_200_000)]
+#: saturation ceiling of one socket. Both pairs run at 1.2M files:
+#: round 2 cut the post-featurize parallel work enough that smaller
+#: corpora are serial-floor-bound (fixed-size Amdahl) and understate
+#: scaling — see BENCH/BASELINE.md.
+PAIRS = [((2, 8), 1_200_000), ((8, 32), 1_200_000)]
 
 
 def corpus_path(n_files: int) -> Path:
