@@ -298,6 +298,41 @@ def q_embedding_neardup(spark, sf):
                                    n_bits=None, n_tables=8)
 
 
+def q_streaming_signatures(spark, sf):
+    """Structured Streaming featurize over the documents table
+    (availableNow trigger drains it as micro-batches); the resulting
+    signature rows must match the batch pipeline bit-for-bit — rows-only
+    here, with the batch-vs-stream equality asserted in
+    tests/test_streaming.py."""
+    import tempfile
+
+    from sparkdedup.streaming.ingest import stream_signatures
+
+    d = tempfile.mkdtemp(prefix="sparkdedup_stream_")
+    docs_ddl = ("doc_id bigint, text string, lang string, source string, "
+                "n_chars bigint")
+    # the driver's tables are single parquet FILES; readStream needs a
+    # directory, so stream the sf dir with a filename glob filter
+    stream = (spark.readStream.schema(docs_ddl)
+              .option("pathGlobFilter", "documents.parquet")
+              .parquet(sf)
+              .select(F.col("source").alias("repo"),
+                      F.concat(F.lit("docs/"), F.col("doc_id").cast("string"),
+                               F.lit(".txt")).alias("path"),
+                      F.lit("0" * 40).alias("commit"),
+                      F.col("lang"),
+                      F.col("text").alias("content")))
+    sigs = stream_signatures(stream, DedupConfig(similarity="similar"))
+    q = (sigs.writeStream.format("parquet")
+         .option("path", f"{d}/sigs")
+         .option("checkpointLocation", f"{d}/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return (spark.read.parquet(f"{d}/sigs")
+            .select("file_id", "sha256", "simhash",
+                    F.xxhash64("minhash").alias("minhash_h")))
+
+
 def q_media_features(spark, sf):
     feats = media_features(documents_as_media(_docs(spark, sf)), dim=16)
     return feats.select("media_id", "kind", "error",
@@ -330,6 +365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srp_topk": q_srp_topk,
         "embedding_neardup": q_embedding_neardup,
         "media_features": q_media_features,
+        "streaming_signatures": q_streaming_signatures,
     }
 
 

@@ -28,6 +28,12 @@ from sparkdedup.config import LANG_EXTS, DedupConfig
 REASON_NULL = "Invalid or corrupted file"
 REASON_UNSUPPORTED = "Unsupported file type"
 
+#: the BASELINE.json input_hint table shape, as a DDL string usable by
+#: both batch readers and readStream (streaming requires an explicit
+#: schema — no inference on a stream)
+INPUT_SCHEMA = ("repo string, path string, commit string, "
+                "lang string, content string")
+
 
 def read_files(spark: SparkSession, cfg: DedupConfig) -> DataFrame:
     """O1: union-of-roots scan of the files table(s).

@@ -1,0 +1,96 @@
+"""Structured Streaming ingest: continuous featurize + incremental
+exact-dedup (training-pipeline extension; the reference is batch-only
+and rescans from scratch, dif.py:96-149)."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from sparkdedup.config import DedupConfig
+from sparkdedup.corpus import files_table
+from sparkdedup.streaming.ingest import incremental_dedup, stream_signatures
+from sparkdedup.sources.files import INPUT_SCHEMA
+
+
+def _await(query, timeout=180):
+    query.awaitTermination(timeout)
+    assert not query.isActive
+
+
+def _write_batch(df, path):
+    df.write.mode("overwrite").parquet(path)
+
+
+def test_incremental_dedup_across_batches(spark, tmp_path):
+    """Batch 2 re-ingests a file whose content already exists in batch 1:
+    the edge must be found WITHOUT re-featurizing batch 1 (history join
+    on the accumulated signatures table)."""
+    cfg = DedupConfig()
+    src = tmp_path / "incoming"
+    out = tmp_path / "out"
+    rows1 = [("r1", "a.py", "c1", "python", "def shared(): return 42"),
+             ("r1", "b.py", "c2", "python", "def only_b(): return 7"),
+             ("r1", "bad.py", "c3", "python", None)]
+    rows2 = [("r2", "a_copy.py", "c4", "python", "def shared(): return 42"),
+             ("r2", "c.py", "c5", "python", "def only_c(): return 9"),
+             ("r2", "c_dup.py", "c6", "python", "def only_c(): return 9")]
+
+    # micro-batch 1
+    _write_batch(spark.createDataFrame(rows1, INPUT_SCHEMA),
+                 str(src / "batch1"))
+    _await(incremental_dedup(spark, cfg, str(src / "*"), str(out)))
+    sigs1 = spark.read.parquet(str(out / "signatures"))
+    assert sigs1.count() == 2                      # bad.py -> invalid sink
+    assert spark.read.parquet(str(out / "invalid")).count() == 1
+    import os
+    assert not os.path.exists(str(out / "exact_edges")) or \
+        spark.read.parquet(str(out / "exact_edges")).count() == 0
+
+    # micro-batch 2 (separate run = restart-with-checkpoint path)
+    _write_batch(spark.createDataFrame(rows2, INPUT_SCHEMA),
+                 str(src / "batch2"))
+    _await(incremental_dedup(spark, cfg, str(src / "*"), str(out)))
+    sigs = spark.read.parquet(str(out / "signatures"))
+    assert sigs.count() == 5                       # batch 1 NOT re-ingested
+    edges = spark.read.parquet(str(out / "exact_edges")).collect()
+    ids = {r["path"]: r["file_id"]
+           for r in sigs.select("path", "file_id").collect()}
+    pairs = {frozenset((e["src"], e["dst"])) for e in edges}
+    # cross-batch dup: a.py (history) vs a_copy.py (new)
+    assert frozenset((ids["a.py"], ids["a_copy.py"])) in pairs
+    # within-batch dup: c.py vs c_dup.py
+    assert frozenset((ids["c.py"], ids["c_dup.py"])) in pairs
+    assert all(e["kind"] == "exact" and e["dist"] == 0.0 for e in edges)
+    # sha-prefix partitioning present (history joins prune on it)
+    assert any(p.startswith("sha_prefix=")
+               for p in os.listdir(str(out / "signatures")))
+
+
+def test_stream_signatures_matches_batch(spark, tmp_path):
+    """The streaming featurize plan produces byte-identical signature
+    rows to the batch pipeline over the same input."""
+    from sparkdedup.plans.pipeline import build_signatures
+    cfg = DedupConfig()
+    files = files_table(spark, n=60, seed=11)
+    src = tmp_path / "src"
+    files.write.parquet(str(src / "b0"))
+
+    stream = stream_signatures(
+        spark.readStream.schema(INPUT_SCHEMA).parquet(str(src / "*")), cfg)
+    assert stream.isStreaming
+    q = (stream.writeStream.format("parquet")
+         .option("path", str(tmp_path / "sigs"))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    _await(q)
+
+    got = spark.read.parquet(str(tmp_path / "sigs"))
+    want, _ = build_signatures(spark, cfg, spark.read.parquet(str(src / "b0")))
+    cols = ["file_id", "sha256", "simhash", "n_shingles"]
+    assert (sorted(map(tuple, got.select(*cols).collect()))
+            == sorted(map(tuple, want.select(*cols).collect())))
+    h_got = got.agg(F.bit_xor(F.xxhash64("minhash"))).collect()[0][0]
+    h_want = want.agg(F.bit_xor(F.xxhash64("minhash"))).collect()[0][0]
+    assert h_got == h_want
