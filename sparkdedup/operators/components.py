@@ -26,10 +26,16 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _large_star(edges: DataFrame) -> DataFrame:
+def _large_star(edges: DataFrame, n_parts: int) -> DataFrame:
     both = (edges.select("u", "v")
             .unionByName(edges.select(F.col("v").alias("u"),
                                       F.col("u").alias("v"))))
+    # explicit hash partitioning on the window key: the window's
+    # ClusteredDistribution(u) is satisfied by it, so the exchange is
+    # reused at the edge-sized partition count instead of planning at
+    # the session's corpus-sized spark.sql.shuffle.partitions (and no
+    # session conf is mutated — safe under concurrent queries)
+    both = both.repartition(n_parts, "u")
     w = Window.partitionBy("u")
     m = F.least(F.min("v").over(w), F.col("u"))
     # no dropDuplicates here: duplicate edges don't change the window
@@ -41,15 +47,17 @@ def _large_star(edges: DataFrame) -> DataFrame:
             .filter(F.col("u") != F.col("v")))
 
 
-def _small_star(edges: DataFrame) -> DataFrame:
+def _small_star(edges: DataFrame, n_parts: int) -> DataFrame:
     canon = edges.select(F.greatest("u", "v").alias("u"),
                          F.least("u", "v").alias("v"))
+    canon = canon.repartition(n_parts, "u")
     w = Window.partitionBy("u")
     withm = canon.withColumn("m", F.min("v").over(w))
     out = (withm.filter(F.col("v") != F.col("m"))
            .select(F.col("v").alias("u"), F.col("m").alias("v"))
            .unionByName(withm.select("u", F.col("m").alias("v"))))
     return (out.filter(F.col("u") != F.col("v"))
+            .repartition(n_parts, "u", "v")
             .dropDuplicates(["u", "v"]))
 
 
@@ -80,25 +88,25 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     # The edge graph is typically orders of magnitude smaller than the
     # corpus; iterate at a partition count matched to it, not to the
     # corpus-sized session default (each round is several jobs — tiny
-    # partitions make the loop pure scheduling overhead).
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    # partitions make the loop pure scheduling overhead). The count is
+    # applied as explicit repartitions inside the star steps — NOT by
+    # mutating spark.sql.shuffle.partitions, which would leak into any
+    # query planned concurrently on the same session (round-2 verdict).
     prev = _fingerprint(g)
     n_edges = prev[0]
+    sess_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     cc_parts = max(spark.sparkContext.defaultParallelism,
-                   min(int(old_parts), n_edges // 100_000 + 1))
-    spark.conf.set("spark.sql.shuffle.partitions", str(cc_parts))
-    try:
-        for _ in range(max_iter):
-            g = _small_star(_large_star(g)).localCheckpoint(eager=False)
-            cur = _fingerprint(g)
-            if cur == prev:
-                break
-            prev = cur
-        else:
-            raise RuntimeError(
-                f"connected_components: no fixpoint in {max_iter} rounds")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+                   min(sess_parts, n_edges // 100_000 + 1))
+    for _ in range(max_iter):
+        g = _small_star(_large_star(g, cc_parts),
+                        cc_parts).localCheckpoint(eager=False)
+        cur = _fingerprint(g)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components: no fixpoint in {max_iter} rounds")
     # converged: every edge is (node, root)
     return (g.select(F.col("u").alias("file_id"), F.col("v").alias("cluster_id"))
             .unionByName(g.select(F.col("v").alias("file_id"),

@@ -234,11 +234,17 @@ def lsh_cosine_topk(corpus: DataFrame, queries: DataFrame, dim: int,
              .dropDuplicates(["query_id", "neighbor_id"]))
     vecs = corpus.select(F.col(id_col).alias("_vid"),
                          F.col(vec_col).cast("array<double>").alias("_v"))
+    # query vectors come from the QUERIES side: a query id absent from
+    # the corpus must still score, and overlapping-but-distinct id
+    # spaces must not read the wrong vector (round-2 advice)
+    qvecs = queries.select(F.col(id_col).alias("_qid"),
+                           F.col(vec_col).cast("array<double>")
+                           .alias("qvec"))
     scored = (cands
               .join(vecs, cands["neighbor_id"] == vecs["_vid"]).drop("_vid")
               .withColumnRenamed("_v", "cvec")
-              .join(F.broadcast(vecs), F.col("query_id") == vecs["_vid"])
-              .drop("_vid").withColumnRenamed("_v", "qvec")
+              .join(F.broadcast(qvecs),
+                    F.col("query_id") == F.col("_qid")).drop("_qid")
               .withColumn("cos", _dot("qvec", "cvec")
                           / (_norm("qvec") * _norm("cvec"))))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"),

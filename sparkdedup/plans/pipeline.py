@@ -131,8 +131,15 @@ class SearchResult:
             raise ValueError(
                 f"result(): more than {max_rows} matched files; "
                 "read .ranked / .clusters DataFrames instead")
-        dists = {(r["src"], r["dst"]): r["dist"]
-                 for r in self.edges.collect()}
+        # the edge set can be far larger than the member list (multi-band
+        # survivors, containment edges) — guard this collect the same way
+        max_edges = 10 * max_rows
+        edge_rows = self.edges.limit(max_edges + 1).collect()
+        if len(edge_rows) > max_edges:
+            raise ValueError(
+                f"result(): more than {max_edges} edges; "
+                "read .edges DataFrame instead")
+        dists = {(r["src"], r["dst"]): r["dist"] for r in edge_rows}
         # distance of each member to its cluster root: edges are sparse
         # (stars/LSH survivors), so non-adjacent display pairs get the
         # root-path upper bound d(a,root)+d(root,b) — exactly 0 for

@@ -8,10 +8,11 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from sparkdedup.config import DedupConfig
-from sparkdedup.functions.shingles import (minhash_params, normalize_text,
-                                           pack_minhash, shingle_hashes,
-                                           signature_of, unpack_minhash,
-                                           with_signature)
+from sparkdedup.functions.shingles import (BatchScratch, minhash_params,
+                                           normalize_text, pack_minhash,
+                                           shingle_hashes, signature_of,
+                                           signatures_of_batch,
+                                           unpack_minhash, with_signature)
 
 CFG = dict(k=7, num_perm=128, seed=42, anchor_mod=32, max_anchors=512)
 
@@ -83,6 +84,44 @@ def test_signature_total_function(text):
     assert mh.shape == (128,)
     assert isinstance(sim, int)
     assert bot.size <= 16
+
+
+def test_batch_kernel_matches_per_doc_oracle():
+    """signatures_of_batch (the production kernel) must be bit-identical
+    to signature_of per doc, across edge cases, with a REUSED scratch."""
+    rng = np.random.default_rng(7)
+    import string
+    alpha = list(string.ascii_letters + "     .,;")
+    texts = ["", " ", "ab", "abcdef", "abcdefg", "aaa", "zz",
+             "日本語テキスト短", "x y  z\t\nw",
+             "日本語のテキストです。これは長い文章でシングルが出ます。" * 3,
+             "abcabcabc" * 50, "the the the the the" * 20]
+    texts += ["".join(rng.choice(alpha, size=int(rng.integers(0, 600))))
+              for _ in range(150)]
+    params = minhash_params(128, 42)
+    sc = BatchScratch()
+    for _rep in range(2):  # reused scratch must not leak state
+        mh_b, sim_b, cnt_b, anch_b = signatures_of_batch(
+            texts, 7, 128, 42, 32, 512, params, sc)
+        for i, t in enumerate(texts):
+            mh, sim, n, anc = signature_of(t, **CFG)
+            assert np.array_equal(mh, mh_b[i]), f"minhash doc {i}"
+            assert sim == sim_b[i], f"simhash doc {i}"
+            assert n == cnt_b[i], f"n_shingles doc {i}"
+            assert np.array_equal(anc, anch_b[i]), f"anchors doc {i}"
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.text(min_size=0, max_size=120), min_size=1, max_size=12))
+def test_batch_kernel_parity_property(texts):
+    params = minhash_params(32, 42)
+    mh_b, sim_b, cnt_b, anch_b = signatures_of_batch(
+        texts, 7, 32, 42, 32, 512, params)
+    for i, t in enumerate(texts):
+        mh, sim, n, anc = signature_of(t, 7, 32, 42, 32, 512, params)
+        assert np.array_equal(mh, mh_b[i])
+        assert sim == sim_b[i] and n == cnt_b[i]
+        assert np.array_equal(anc, anch_b[i])
 
 
 def test_spark_udf_matches_kernel(spark):

@@ -63,9 +63,59 @@ def test_incremental_dedup_across_batches(spark, tmp_path):
     # within-batch dup: c.py vs c_dup.py
     assert frozenset((ids["c.py"], ids["c_dup.py"])) in pairs
     assert all(e["kind"] == "exact" and e["dist"] == 0.0 for e in edges)
-    # sha-prefix partitioning present (history joins prune on it)
+    # epoch + sha-prefix partitioning present (idempotent epoch
+    # overwrite; history joins prune on sha_prefix)
+    sig_root = str(out / "signatures")
+    epochs = [p for p in os.listdir(sig_root)
+              if p.startswith("ingest_batch=")]
+    assert epochs
     assert any(p.startswith("sha_prefix=")
-               for p in os.listdir(str(out / "signatures")))
+               for b in epochs for p in os.listdir(os.path.join(sig_root, b)))
+
+
+def test_incremental_near_dup_across_batches(spark, tmp_path):
+    """near_dup=True: batch 2 contains a near-duplicate (not exact) of a
+    batch-1 file; the near edge must be found via the accumulated band
+    table + signature minhashes — batch 1 is never re-featurized."""
+    cfg = DedupConfig(similarity="similar")
+    src = tmp_path / "incoming"
+    out = tmp_path / "out"
+    base = ("def compute(a, b):\n"
+            "    return a * b + a - b  # some shared logic here\n") * 4
+    mutated = base.replace("shared logic", "shared logik")
+    zbase = " ".join(f"ztoken{i} word{i*7%13}" for i in range(60))
+    rows1 = [("r1", "x.py", "c1", "python", base),
+             ("r1", "y.py", "c2", "python",
+              "totally different content nothing alike at all " * 10)]
+    rows2 = [("r2", "x2.py", "c3", "python", mutated),
+             ("r2", "z.py", "c4", "python", zbase),
+             ("r2", "z2.py", "c5", "python",
+              zbase.replace("ztoken3 ", "ztokenX "))]
+    _write_batch(spark.createDataFrame(rows1, INPUT_SCHEMA),
+                 str(src / "batch1"))
+    _await(incremental_dedup(spark, cfg, str(src / "*"), str(out),
+                             near_dup=True))
+    _write_batch(spark.createDataFrame(rows2, INPUT_SCHEMA),
+                 str(src / "batch2"))
+    _await(incremental_dedup(spark, cfg, str(src / "*"), str(out),
+                             near_dup=True))
+    sigs = spark.read.parquet(str(out / "signatures"))
+    assert sigs.count() == 5                      # history not re-ingested
+    ids = {r["path"]: r["file_id"]
+           for r in sigs.select("path", "file_id").collect()}
+    edges = spark.read.parquet(str(out / "exact_edges")).collect()
+    near = {frozenset((e["src"], e["dst"]))
+            for e in edges if e["kind"] == "near"}
+    # cross-batch near-dup: x.py (history) vs x2.py (new)
+    assert frozenset((ids["x.py"], ids["x2.py"])) in near
+    # within-batch near-dup: z.py vs z2.py
+    assert frozenset((ids["z.py"], ids["z2.py"])) in near
+    # the unrelated file never pairs
+    assert not any(ids["y.py"] in p for p in near)
+    # band table accumulated per epoch
+    import os
+    assert any(p.startswith("ingest_batch=")
+               for p in os.listdir(str(out / "bands")))
 
 
 def test_stream_signatures_matches_batch(spark, tmp_path):
