@@ -285,6 +285,47 @@ def q_near_exact_clusters(spark, sf):
     return cc.select(F.col("file_id").alias("doc_id"), "cluster_id")
 
 
+def _planted_embeddings(spark, sf) -> DataFrame:
+    """Embeddings with PLANTED near-duplicates: each vector unioned with
+    an elementwise +0.05 shifted copy (vec_id offset) — cos(v, v+c) is
+    ~0.92 here, far above any random pair (max ~0.5 at dim 64). The raw
+    sf tables have no high-cosine pairs at all (random vectors), so an
+    ANN query over them can only be checked rows-only; this view gives
+    the SRP path exact, margin-safe ground truth (the same
+    planted-collision move as q_exact_dup_groups, round-1 verdict)."""
+    base = _emb(spark, sf).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    shifted = base.select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.05))
+        .alias("embedding"))
+    return base.unionByName(shifted)
+
+
+def q_embedding_neardup_planted(spark, sf):
+    """SRP-bucketed near-dup edges vs EXACT DuckDB all-pairs cosine at
+    tau=0.9 on the planted view. The engine output is already
+    exact-cosine-verified (perfect precision by construction), so a
+    green hash proves candidate RECALL was 1.0 at this n_bits/n_tables
+    — the round-2 gap (embedding ANN had no oracle) closed. n_bits=4 /
+    n_tables=16: per-pair miss probability ~1e-6 at cos 0.92, verified
+    0 missed on this corpus with the fixed seed."""
+    edges = embedding_neardup_edges(_planted_embeddings(spark, sf), dim=64,
+                                    threshold=0.9, n_bits=4, n_tables=16)
+    return edges.select("src", "dst", "cos")
+
+
+def q_srp_top1_planted(spark, sf):
+    """SRP top-1 vs exact top-1 on the planted view: each query's true
+    nearest neighbor is its planted copy at cos ~0.92 (next candidate
+    ~0.5 — margin-safe), so ANN == exact iff the bucket join recalled
+    the true neighbor for every query. Oracles the full lsh_cosine_topk
+    path: one-pass signatures, bucket join, exact re-rank."""
+    view = _planted_embeddings(spark, sf)
+    return lsh_cosine_topk(view, view.filter(F.col("vec_id") < 20),
+                           dim=64, k=1, n_bits=4, n_tables=16)
+
+
 def q_srp_topk(spark, sf):
     e = _emb(spark, sf)
     # n_bits=None: derived from the corpus count (round-1 verdict —
@@ -327,7 +368,8 @@ def q_streaming_signatures(spark, sf):
          .option("path", f"{d}/sigs")
          .option("checkpointLocation", f"{d}/ckpt")
          .trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    finished = q.awaitTermination(300)
+    assert finished and not q.isActive, "streaming drain did not finish"
     return (spark.read.parquet(f"{d}/sigs")
             .select("file_id", "sha256", "simhash",
                     F.xxhash64("minhash").alias("minhash_h")))
@@ -358,6 +400,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_edges": q_containment_edges,
         "near_jaccard_edges": q_near_jaccard_edges,
         "near_exact_clusters": q_near_exact_clusters,
+        "embedding_neardup_planted": q_embedding_neardup_planted,
+        "srp_top1_planted": q_srp_top1_planted,
         # rows-only
         "minhash_signatures": q_minhash_signatures,
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
@@ -540,6 +584,53 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.v, c.lab FROM cc c JOIN edges e ON e.u = c.doc)
             SELECT doc AS doc_id, min(lab) AS cluster_id
             FROM cc GROUP BY doc
+        """,
+        "embedding_neardup_planted": f"""
+            WITH planted AS (
+              SELECT vec_id, list_transform(embedding,
+                       x -> CAST(x AS DOUBLE)) AS embedding
+              FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000, list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) + 0.05)
+              FROM embeddings)
+            SELECT a.vec_id AS src, b.vec_id AS dst,
+                   round({_DOT.format(a='a.embedding', b='b.embedding')}
+                     / (sqrt({_DOT.format(a='a.embedding', b='a.embedding')})
+                      * sqrt({_DOT.format(a='b.embedding', b='b.embedding')})),
+                     6) AS cos
+            FROM planted a JOIN planted b ON a.vec_id < b.vec_id
+            WHERE {_DOT.format(a='a.embedding', b='b.embedding')}
+                  / (sqrt({_DOT.format(a='a.embedding', b='a.embedding')})
+                   * sqrt({_DOT.format(a='b.embedding', b='b.embedding')}))
+                  >= 0.9
+        """,
+        "srp_top1_planted": f"""
+            WITH planted AS (
+              SELECT vec_id, list_transform(embedding,
+                       x -> CAST(x AS DOUBLE)) AS embedding
+              FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000, list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) + 0.05)
+              FROM embeddings),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     {_DOT.format(a='q.embedding', b='c.embedding')}
+                     / (sqrt({_DOT.format(a='q.embedding', b='q.embedding')})
+                      * sqrt({_DOT.format(a='c.embedding', b='c.embedding')}))
+                     AS cos_raw
+              FROM planted q JOIN planted c
+                ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+            ranked AS (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos_raw DESC, neighbor_id ASC) AS rank,
+                     cos_raw
+              FROM scored)
+            SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+                   round(cos_raw, 6) AS cos
+            FROM ranked WHERE rank <= 1
         """,
         "cosine_topk": f"""
             WITH scored AS (

@@ -159,15 +159,25 @@ def verify_containment(cands: DataFrame, sigs: DataFrame) -> DataFrame:
               .join(content.withColumnRenamed("content", "big_content")
                     .alias("c2"),
                     F.col("big_id") == F.col("c2.file_id")).drop("file_id")
-              # co-locate candidates of the same big file into one task
-              .repartition("big_id"))
+              # co-locate candidates of the same big file into one task;
+              # sortWithinPartitions makes a hot big_id's candidates
+              # ADJACENT across Arrow batches so its suffix array is
+              # built once per task, not once per batch (round-2 verdict:
+              # a license-boilerplate superfile with 10^4 containees paid
+              # the SA construction per 10k-row batch)
+              .repartition("big_id").sortWithinPartitions("big_id"))
 
     def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        last = (None, b"", None)          # (big_id, bytes, sa) memo
         for b in batches:
             out = {"src": [], "dst": [], "dist": [], "kind": []}
             for big_id, grp in b.groupby("big_id", sort=False):
-                big = normalize_text(grp["big_content"].iloc[0]).encode()
-                sa = build_suffix_array(big)
+                if big_id == last[0]:
+                    big, sa = last[1], last[2]
+                else:
+                    big = normalize_text(grp["big_content"].iloc[0]).encode()
+                    sa = build_suffix_array(big)
+                    last = (big_id, big, sa)
                 for small_id, small_content, small_chars, big_chars in zip(
                         grp["small_id"], grp["small_content"],
                         grp["small_chars"], grp["big_chars"]):

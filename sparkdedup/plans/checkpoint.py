@@ -96,25 +96,48 @@ class StageRunner:
         """Per-partition granularity for the featurize stage: the input
         is split into ``num_ingest_buckets`` deterministic hash buckets;
         each commits independently. ``build(bucket_df)`` returns the
-        bucket's output DataFrame."""
+        bucket's output DataFrame.
+
+        The input is scanned ONCE: a staging write partitioned by the
+        bucket column (the round-2 version re-filtered the full input
+        per bucket — the ``_bucket`` column is computed, so nothing
+        pruned at the source and resumable featurize cost nb full scans
+        of a 100 TB table). Per-bucket reads of the staged table prune
+        on the ``_bucket`` partition directory; the staging directory is
+        removed once every bucket has committed. On Iceberg the same
+        layout is a hidden-partitioned staging table.
+        """
         nb = self.cfg.num_ingest_buckets
         base = self.root / name
-        bucket_col = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(nb))
-        tagged = files.withColumn("_bucket", bucket_col)
+        staging = self.root / f"_staging_{name}"
         computed = skipped = 0
         t0 = time.monotonic()
-        for b in range(nb):
-            bpath = base / f"bucket={b}"
-            if self._done(bpath):
-                skipped += 1
-                continue
-            bdf = build(tagged.filter(F.col("_bucket") == b).drop("_bucket"))
-            bdf.write.mode("overwrite").parquet(str(bpath))
-            rows = self.spark.read.parquet(str(bpath)).count()
-            self._log_lineage({"stage": name, "granularity": "bucket",
-                               "bucket": b, "rows": rows,
-                               "params": self.cfg.params_hash()})
-            computed += 1
+        missing = [b for b in range(nb)
+                   if not self._done(base / f"bucket={b}")]
+        skipped = nb - len(missing)
+        if missing:
+            if not self._done(staging):
+                bucket_col = F.pmod(F.xxhash64("repo", "path", "commit"),
+                                    F.lit(nb))
+                (files.withColumn("_bucket", bucket_col)
+                 .write.mode("overwrite").partitionBy("_bucket")
+                 .parquet(str(staging)))
+                self._log_lineage({"stage": name, "granularity": "staging",
+                                   "seconds": round(time.monotonic() - t0, 3),
+                                   "params": self.cfg.params_hash()})
+            staged = self.spark.read.parquet(str(staging))
+            for b in missing:
+                bpath = base / f"bucket={b}"
+                bdf = build(staged.filter(F.col("_bucket") == b)
+                            .drop("_bucket"))
+                bdf.write.mode("overwrite").parquet(str(bpath))
+                rows = self.spark.read.parquet(str(bpath)).count()
+                self._log_lineage({"stage": name, "granularity": "bucket",
+                                   "bucket": b, "rows": rows,
+                                   "params": self.cfg.params_hash()})
+                computed += 1
+            import shutil
+            shutil.rmtree(staging, ignore_errors=True)
         out = self.spark.read.parquet(str(base / "bucket=*"))
         self.stages.append(StageInfo(
             name, computed > 0, out.count(), time.monotonic() - t0,
@@ -161,6 +184,9 @@ def resumable_run(spark: SparkSession, cfg: DedupConfig,
     sigs = runner.bucketed_stage("signatures", valid, featurize)
     _check("signatures")
 
+    handles: list = []   # DataFrames persisted inside containment —
+                         # unpersisted once the edges stage materializes
+
     def edges_build() -> DataFrame:
         # Mirror pipeline.search_clusters exactly: reps computed ONCE and
         # shared by the near and containment branches. Containment must
@@ -176,7 +202,7 @@ def resumable_run(spark: SparkSession, cfg: DedupConfig,
         e = e.unionByName(near)
         if cfg.containment:
             e = e.unionByName(
-                containment_edges(reps, cfg).withColumn(
+                containment_edges(reps, cfg, handles=handles).withColumn(
                     "gen", F.lit("contain")))
         return e.groupBy("src", "dst").agg(
             F.min("dist").alias("dist"),
@@ -184,6 +210,9 @@ def resumable_run(spark: SparkSession, cfg: DedupConfig,
             F.min("gen").alias("gen"))
 
     edges = runner.stage("edges", edges_build)
+    for df in handles:   # anchor index etc. — free executor storage
+        df.unpersist()
+    handles.clear()
     _check("edges")
 
     clusters = runner.stage("clusters",

@@ -249,12 +249,21 @@ class SearchResult:
     def actions(self, action: str = "delete",
                 destination: str | None = None) -> DataFrame:
         """difPy move_to/delete sinks (O20/O21, dif.py:635-691) as DATA:
-        an actions table, not filesystem mutation."""
+        an actions table, not filesystem mutation. ``moved_path``
+        mirrors move_to's post-move path rewrite (dif.py:658-663:
+        ``os.path.join(destination, tail)`` — destination + basename),
+        which difPy writes back into ``lower_quality``."""
         lq = self.lower_quality_df
+        if destination is not None:
+            moved = F.concat(F.lit(destination.rstrip("/") + "/"),
+                             F.element_at(F.split("path", "/"), -1))
+        else:
+            moved = F.lit(None).cast("string")
         return lq.select(
             "file_id", "repo", "path",
             F.lit(action).alias("action"),
             F.lit(destination).cast("string").alias("destination"),
+            moved.alias("moved_path"),
         )
 
 

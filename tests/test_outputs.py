@@ -83,9 +83,12 @@ def test_actions_table(spark):
     move = res.actions("move", "/dest").collect()
     assert all(r["action"] == "move" and r["destination"] == "/dest"
                for r in move)
+    # moved_path mirrors dif.py:658-663: destination + basename(path)
+    assert all(r["moved_path"] == "/dest/" + r["path"].rsplit("/", 1)[-1]
+               for r in move)
     delete = res.actions("delete").collect()
     assert all(r["action"] == "delete" and r["destination"] is None
-               for r in delete)
+               and r["moved_path"] is None for r in delete)
     # actions cover exactly the lower-quality set
     lq = {r["file_id"] for r in res.lower_quality_df.collect()}
     assert {r["file_id"] for r in delete} == lq
