@@ -442,17 +442,48 @@ def make_signature_udf(cfg: DedupConfig):
         if not state:
             state["params"] = minhash_params(num_perm, seed)
             state["scratch"] = BatchScratch()
-        mh, sims, counts, anchors = signatures_of_batch(
-            list(content), k, num_perm, seed, anchor_mod, max_anchors,
-            state["params"], state["scratch"])
-        le = mh.astype("<i8", copy=False)
+        texts = list(content)
+        # character-bounded sub-batches keep every scratch buffer a few
+        # MB: Spark python workers start COLD per job, and on
+        # virtualized hosts first-touch page faults on ~100 MB of
+        # batch-sized pool buffers cost more than the math (measured
+        # 16 s vs 2 s for the same 5k-doc batch on the round-3 host)
+        bounds, start, chars = [], 0, 0
+        for i, t in enumerate(texts):
+            chars += len(t) if t else 0
+            if chars >= _SUB_BATCH_CHARS:
+                bounds.append((start, i + 1))
+                start, chars = i + 1, 0
+        if start < len(texts):
+            bounds.append((start, len(texts)))
+        mhs: list = []
+        sims_p: list = []
+        cnts_p: list = []
+        anchors: list = []
+        for s, e in bounds:
+            mh, sims, counts, anch = signatures_of_batch(
+                texts[s:e], k, num_perm, seed, anchor_mod, max_anchors,
+                state["params"], state["scratch"])
+            le = mh.astype("<i8", copy=False)
+            mhs.extend(le[i].tobytes() for i in range(le.shape[0]))
+            sims_p.append(sims.copy())   # scratch-backed: copy before
+            cnts_p.append(counts.copy())  # the next sub-batch reuses it
+            anchors.extend(anch)
         return pd.DataFrame({
-            "minhash": [le[i].tobytes() for i in range(le.shape[0])],
-            "simhash": sims, "n_shingles": counts,
+            "minhash": mhs,
+            "simhash": (np.concatenate(sims_p) if sims_p
+                        else np.array([], dtype=np.int64)),
+            "n_shingles": (np.concatenate(cnts_p) if cnts_p
+                           else np.array([], dtype=np.int64)),
             "anchors": anchors,
         })
 
     return signature
+
+
+#: sub-batch budget for the UDF: bounds the shingle pool (and therefore
+#: every BatchScratch buffer) regardless of Arrow batch size
+_SUB_BATCH_CHARS = 200_000
 
 
 def with_signature(df: DataFrame, cfg: DedupConfig,
