@@ -268,9 +268,10 @@ def signatures_of_batch(texts: list, k: int, num_perm: int, seed: int,
     tests/test_signatures.py). The per-document version dispatched ~10
     numpy calls per doc (301us/doc at 300 chars — pure dispatch, the
     round-2 scaling bottleneck); here the shingle pool of the WHOLE
-    batch carries doc labels, per-doc dedup is one global ``lexsort``,
-    and MinHash minima / SimHash bit counts are ``reduceat`` segment
-    reductions over L2-sized pool blocks.
+    batch carries doc labels and is doc-contiguous by construction,
+    per-doc dedup is a tiny in-place sort per segment, and MinHash
+    minima / SimHash bit counts are ``reduceat`` segment reductions
+    over L2-sized pool blocks.
 
     Dedup trick: the sorted pool is never compressed. MinHash minima are
     duplicate-insensitive; for SimHash bit counts duplicates are zeroed

@@ -118,6 +118,27 @@ def test_incremental_near_dup_across_batches(spark, tmp_path):
                for p in os.listdir(str(out / "bands")))
 
 
+def test_incremental_dedup_uri_out_dir(spark, tmp_path):
+    """out_dir as a file: URI: the history probe and all sinks must go
+    through the Hadoop FS reader, never local pathlib (round-2 advice —
+    on HDFS/S3 a pathlib probe silently skipped cross-batch edges)."""
+    cfg = DedupConfig()
+    src = tmp_path / "incoming"
+    out_uri = f"file://{tmp_path}/out"
+    rows1 = [("r1", "a.py", "c1", "python", "def shared(): return 42")]
+    rows2 = [("r2", "b.py", "c2", "python", "def shared(): return 42")]
+    _write_batch(spark.createDataFrame(rows1, INPUT_SCHEMA),
+                 str(src / "b1"))
+    _await(incremental_dedup(spark, cfg, str(src / "*"), out_uri))
+    _write_batch(spark.createDataFrame(rows2, INPUT_SCHEMA),
+                 str(src / "b2"))
+    _await(incremental_dedup(spark, cfg, str(src / "*"), out_uri))
+    sigs = spark.read.parquet(f"{out_uri}/signatures")
+    assert sigs.count() == 2
+    edges = spark.read.parquet(f"{out_uri}/exact_edges").collect()
+    assert len(edges) == 1 and edges[0]["kind"] == "exact"
+
+
 def test_stream_signatures_matches_batch(spark, tmp_path):
     """The streaming featurize plan produces byte-identical signature
     rows to the batch pipeline over the same input."""
