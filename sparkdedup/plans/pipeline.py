@@ -313,11 +313,20 @@ def search_clusters(sigs: DataFrame, invalid: DataFrame,
     persisted.append(edges)
     timings["plan_edges"] = time.monotonic() - t0
 
+    # Materialize the merged edge set explicitly: every upstream stage
+    # (band shuffle, Hamming/Jaccard verify, SA containment verify) runs
+    # HERE, so its wall-time is attributable separately from the CC
+    # rounds that follow (which then iterate over the cached edges).
+    t1 = time.monotonic()
+    n_edges = edges.count()
+    timings["materialize_edges"] = time.monotonic() - t1
     t1 = time.monotonic()
     clusters = connected_components(edges)
     timings["connected_components"] = time.monotonic() - t1
-    log.info("search: edge planning %.1fs, connected components %.1fs",
-             timings["plan_edges"], timings["connected_components"])
+    log.info("search: plan %.1fs, %d edges in %.1fs, "
+             "connected components %.1fs", timings["plan_edges"],
+             n_edges, timings["materialize_edges"],
+             timings["connected_components"])
 
     ranked = rank_clusters(clusters,
                            sigs.select("file_id", "repo", "path", "n_chars"))

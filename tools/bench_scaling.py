@@ -85,6 +85,7 @@ def measured_run(cpus: int, n_files: int) -> dict:
         "n_files": n_files,
         "wall_sec": round(wall, 2),
         "featurize_sec": round(t_featurize, 2),
+        "stage_sec": {k: round(v, 2) for k, v in res._timings.items()},
         "files_per_sec": round(n_files / wall, 1),
         "featurize_files_per_sec": round(n_files / t_featurize, 1),
         "clustered_files": n_clustered,
