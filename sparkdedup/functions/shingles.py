@@ -404,26 +404,29 @@ def _doc_bounds(d: np.ndarray, sc: BatchScratch) -> np.ndarray:
     return m
 
 
-#: MinHash travels as ONE binary column (num_perm little-endian uint64
-#: lanes), not array<long>: the Arrow list<int64> + pandas object-column
-#: conversion was ~3x the numpy kernel cost (round-1 bench); a bytes
-#: buffer converts flat. JVM consumers slice it with substring()
-#: (operators/lsh.py band keys, operators/verify.py lane agreement).
+#: MinHash travels as ONE array<long> column (num_perm int64 lanes).
+#: Round 1 used a packed binary column, but the JVM consumers then pay
+#: per-lane ``substring()`` byte-array allocations: the 128-lane
+#: agreement expression measured 6x slower (and far noisier under GC)
+#: than ``zip_with`` over array<long> at 1M pairs, and band keys slice
+#: with the same pathology. Arrow list<int64> transfer of a numpy row
+#: block is cheap with the batched kernel (one bulk copy per sub-batch,
+#: row views into it).
 SIGNATURE_FIELDS = T.StructType([
-    T.StructField("minhash", T.BinaryType(), False),
+    T.StructField("minhash", T.ArrayType(T.LongType()), False),
     T.StructField("simhash", T.LongType(), False),
     T.StructField("n_shingles", T.LongType(), False),
     T.StructField("anchors", T.ArrayType(T.LongType()), False),
 ])
 
 
-def pack_minhash(mh: np.ndarray) -> bytes:
-    """num_perm int64 lanes -> little-endian bytes (8 bytes per lane)."""
-    return mh.astype("<i8", copy=False).tobytes()
+def pack_minhash(mh: np.ndarray) -> list:
+    """num_perm uint64 lanes -> int64 lane list (the column encoding)."""
+    return mh.astype(np.int64, copy=False).tolist()
 
 
-def unpack_minhash(b: bytes) -> np.ndarray:
-    return np.frombuffer(b, dtype="<i8")
+def unpack_minhash(lanes) -> np.ndarray:
+    return np.asarray(lanes, dtype=np.int64)
 
 
 def make_signature_udf(cfg: DedupConfig):
@@ -465,8 +468,10 @@ def make_signature_udf(cfg: DedupConfig):
             mh, sims, counts, anch = signatures_of_batch(
                 texts[s:e], k, num_perm, seed, anchor_mod, max_anchors,
                 state["params"], state["scratch"])
-            le = mh.astype("<i8", copy=False)
-            mhs.extend(le[i].tobytes() for i in range(le.shape[0]))
+            # one bulk copy off the reused scratch buffer (mh is a view
+            # into it); the rows appended below are views into the copy
+            le = mh.astype(np.int64, copy=False).copy()
+            mhs.extend(iter(le))
             sims_p.append(sims.copy())   # scratch-backed: copy before
             cnts_p.append(counts.copy())  # the next sub-batch reuses it
             anchors.extend(anch)

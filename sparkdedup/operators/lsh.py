@@ -25,7 +25,7 @@ full MinHash arrays are joined back just once, for surviving pairs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sparkdedup.config import DedupConfig
@@ -33,15 +33,16 @@ from sparkdedup.config import DedupConfig
 
 def band_hashes(cfg: DedupConfig) -> F.Column:
     """array<bigint> of per-band xxhash64 over minhash lane slices —
-    JVM-side (no Python). The minhash is a packed binary column
-    (functions/shingles.py), so a band slice is a substring of
-    rows_per_band * 8 bytes."""
-    nbytes = cfg.rows_per_band * 8
+    JVM-side (no Python). The minhash is an array<long> column
+    (functions/shingles.py), so a band slice is ``rows_per_band``
+    consecutive lanes; Spark's xxhash64 hashes array elements natively
+    (no byte-array substring allocations — round-3 profile fix)."""
+    rpb = cfg.rows_per_band
     return F.transform(
         F.sequence(F.lit(0), F.lit(cfg.num_bands - 1)),
         lambda i: F.xxhash64(
-            F.substring(F.col("minhash"), i * F.lit(nbytes) + 1,
-                        F.lit(nbytes)), i),
+            F.slice(F.col("minhash"), i * F.lit(rpb) + 1, F.lit(rpb)),
+            i),
     )
 
 
@@ -67,61 +68,54 @@ def _band_keys(cfg: DedupConfig) -> list[str]:
 def candidate_pairs(sigs: DataFrame, cfg: DedupConfig) -> DataFrame:
     """Candidate edges ``(src, dst, simhash_src, simhash_dst, gen)``.
 
-    One shuffle keys the band groupBy (window over the band key), an
-    equi-join on the same key produces within-bucket pairs for small
-    buckets (AQE handles residual imbalance), capped buckets take the
-    star path. SimHash rides along so verification's Hamming pre-cut
-    runs BEFORE any join back to the (wide) signature table.
+    ONE shuffle total: ``groupBy`` the band key, collect the (sorted)
+    bucket membership, then expand pairs with a per-bucket JVM
+    expression that handles both regimes in one branch-free scan —
+    buckets of ≤ ``band_pair_cap`` members emit the full cross-product
+    (with the SimHash Hamming cut applied INSIDE the expansion, difPy's
+    cheap-predicate-first pattern, dif.py:441-449), larger buckets emit
+    a STAR to the bucket minimum. The former shape — a window feeding a
+    small/big branch pair union — planned the band exchange TWICE under
+    AQE (round-3 profile: two identical 441 MB exchange writes at
+    600k files); a single grouped consumer cannot duplicate.
+
+    Memory: a bucket's membership lands in one aggregation buffer
+    (16 B/member) — same residency the window variant had per partition
+    key. A 10^6-member boilerplate bucket costs 16 MB transient, then
+    emits only its star. SimHash rides along so the Hamming cut runs
+    BEFORE any join back to the (wide) signature table.
     """
     keys = _band_keys(cfg)
-    w = Window.partitionBy(*keys)
-    bands = (explode_bands(sigs, cfg)
-             .withColumn("_n", F.count(F.lit(1)).over(w))
-             .withColumn("_root", F.min(F.struct("file_id", "simhash")).over(w))
-             .filter(F.col("_n") > 1))
-
-    # Small buckets: pairs come from a groupBy on the SAME key the
-    # window just hash-partitioned on (exchange reuse — no new shuffle)
-    # plus a JVM higher-order cross-product over the collected bucket,
-    # bounded by band_pair_cap members. This replaces the former bucket
-    # self-join: one fewer join stage per query, identical output.
-    small = bands.filter(F.col("_n") <= cfg.band_pair_cap)
-    grouped = small.groupBy(*keys).agg(
-        F.sort_array(F.collect_list(F.struct("file_id", "simhash")))
-        .alias("_ms"))
+    grouped = (explode_bands(sigs, cfg)
+               .groupBy(*keys)
+               .agg(F.sort_array(
+                   F.collect_list(F.struct("file_id", "simhash")))
+                   .alias("_ms"))
+               .filter(F.size("_ms") > 1))
     ms = F.col("_ms")
-    raw_pairs = F.flatten(F.transform(
-        ms, lambda x, i: F.transform(
-            F.slice(ms, i + F.lit(2), F.lit(cfg.band_pair_cap)),
-            lambda y: F.struct(x["file_id"].alias("src"),
-                               y["file_id"].alias("dst"),
-                               x["simhash"].alias("simhash_src"),
-                               y["simhash"].alias("simhash_dst")))))
-    # SimHash Hamming cut INSIDE the pair expansion: marginal-similarity
-    # pairs die during the bucket cross-product instead of being
-    # materialized into the dedup shuffle (difPy's cheap-predicate-first
-    # pattern, dif.py:441-449, at the physical-plan level).
-    kept = F.filter(
-        raw_pairs,
+    n = F.size(ms)
+
+    def _pair(x, y, gen):
+        return F.struct(x["file_id"].alias("src"),
+                        y["file_id"].alias("dst"),
+                        x["simhash"].alias("simhash_src"),
+                        y["simhash"].alias("simhash_dst"),
+                        gen.alias("gen"))
+
+    cross = F.filter(
+        F.flatten(F.transform(
+            ms, lambda x, i: F.transform(
+                F.slice(ms, i + F.lit(2), F.lit(cfg.band_pair_cap)),
+                lambda y: _pair(x, y, F.lit("allpairs"))))),
         lambda p: F.bit_count(p["simhash_src"].bitwiseXOR(p["simhash_dst"]))
         <= cfg.simhash_ham_max)
-    pairs_small = (grouped.select(F.explode(kept).alias("_p"))
-                   .select(F.col("_p.src").alias("src"),
-                           F.col("_p.dst").alias("dst"),
-                           F.col("_p.simhash_src").alias("simhash_src"),
-                           F.col("_p.simhash_dst").alias("simhash_dst"),
-                           F.lit("allpairs").alias("gen")))
-
-    big = bands.filter(F.col("_n") > cfg.band_pair_cap)
-    pairs_star = (big.filter(F.col("file_id") != F.col("_root.file_id"))
-                  .select(
-                      F.col("_root.file_id").alias("src"),
-                      F.col("file_id").alias("dst"),
-                      F.col("_root.simhash").alias("simhash_src"),
-                      F.col("simhash").alias("simhash_dst"),
-                      F.lit("star").alias("gen"),
-                  ))
-    return pairs_small.unionByName(pairs_star)
+    root = F.element_at(ms, 1)
+    star = F.transform(F.slice(ms, 2, n - 1),
+                       lambda y: _pair(root, y, F.lit("star")))
+    pairs = F.when(n <= cfg.band_pair_cap, cross).otherwise(star)
+    return (grouped.select(F.explode(pairs).alias("_p"))
+            .select("_p.src", "_p.dst", "_p.simhash_src",
+                    "_p.simhash_dst", "_p.gen"))
 
 
 def dedup_pairs(pairs: DataFrame) -> DataFrame:

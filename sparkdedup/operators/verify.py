@@ -46,16 +46,13 @@ def jaccard_edges(pairs: DataFrame, sigs: DataFrame,
                     pairs["src"] == mh["file_id"]).drop("file_id")
               .join(mh.withColumnRenamed("minhash", "mh_dst").alias("m2"),
                     F.col("dst") == F.col("m2.file_id")).drop("file_id"))
-    # minhash is a packed binary column: lane i of each side is the
-    # 8-byte substring at i*8; agreement is a sum of slice equalities,
-    # all inside whole-stage codegen
+    # minhash is an array<long> column: lane agreement is one zip_with
+    # pass inside whole-stage codegen. (The former packed-binary
+    # encoding needed 2*num_perm substring() byte-array allocations per
+    # pair — measured 6x slower and GC-noisy at 1M pairs, round 3.)
     agree = F.aggregate(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(cfg.num_perm - 1)),
-            lambda i: (F.substring(F.col("mh_src"), i * F.lit(8) + 1,
-                                   F.lit(8))
-                       == F.substring(F.col("mh_dst"), i * F.lit(8) + 1,
-                                      F.lit(8))).cast("int")),
+        F.zip_with("mh_src", "mh_dst",
+                   lambda x, y: (x == y).cast("int")),
         F.lit(0), lambda acc, x: acc + x)
     dist = F.lit(1.0) - agree.cast("double") / F.lit(float(cfg.num_perm))
     return (joined

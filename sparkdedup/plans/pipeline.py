@@ -66,7 +66,8 @@ def build_signatures(spark: SparkSession, cfg: DedupConfig,
     return sigs.select(*SIGNATURE_COLS), invalid
 
 
-def _distinct_reps(sigs: DataFrame, cfg: DedupConfig) -> DataFrame:
+def _distinct_reps(sigs: DataFrame, cfg: DedupConfig,
+                   n_rows: int | None = None) -> DataFrame:
     """One representative row per sha256 group (scoped by repo when
     in_folder) — collapses exact-dup mass before the LSH shuffle.
 
@@ -79,12 +80,21 @@ def _distinct_reps(sigs: DataFrame, cfg: DedupConfig) -> DataFrame:
     # anti-join on the LOSERS (non-representative members of dup groups)
     # instead of inner-joining the representative ids: losers are the
     # strictly smaller side (only dup-group members beyond the first),
-    # so Catalyst can broadcast them and the wide signature rows never
-    # shuffle; the window itself runs on a 40 B/row projection.
+    # so the wide signature rows never shuffle; the window itself runs
+    # on a 40 B/row projection. The broadcast is EXPLICIT when the
+    # corpus row count (already known from the materialize count) says
+    # the loser list is driver-safe: Catalyst has no size estimate for
+    # a window output and planned a sort-merge join that shuffled every
+    # full signature row (round-3 profile: 1.2 GB shuffled at 600k
+    # files for a ~100k-row loser list). Above the bound — where a
+    # forced broadcast of an UNBOUNDED dup population could OOM the
+    # driver — fall back to the shuffle anti-join and let AQE convert.
     losers = (sigs.select("file_id", *keys)
               .withColumn("_root", F.min("file_id").over(w))
               .filter(F.col("file_id") != F.col("_root"))
               .select("file_id"))
+    if n_rows is not None and n_rows <= 20_000_000:
+        losers = F.broadcast(losers)
     return sigs.join(losers, "file_id", "left_anti")
 
 
@@ -286,7 +296,7 @@ def search_clusters(sigs: DataFrame, invalid: DataFrame,
     log.info("search: %d signatures materialized", n_sigs)
     edges = exact_edges(sigs, cfg).withColumn("gen", F.lit("exact"))
 
-    reps = _distinct_reps(sigs, cfg).persist()
+    reps = _distinct_reps(sigs, cfg, n_rows=n_sigs).persist()
     log.info("search: %d distinct-content representatives", reps.count())
 
     # The near stage runs at threshold 0 too: difPy's 'duplicates' is

@@ -45,6 +45,21 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Stable timestamps/parquet behaviour for oracle comparison.
         .config("spark.sql.session.timeZone", "UTC")
+        # Featurize cost is ~1ms/KB of content (far above parquet scan
+        # cost), so input splits must outnumber cores even for modest
+        # corpora: the 128 MB default gave an 8-split scan of a 600k-file
+        # corpus and capped the featurize stage at 8 concurrent tasks
+        # regardless of cluster size (round-3 profile). On a real 100 TB
+        # table this is moot; it matters exactly on the small-file-count
+        # benchmark shapes.
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        # AQE coalesces post-shuffle partitions by BYTES; pair-expansion
+        # and lane-agreement stages carry ~100x more CPU per byte than a
+        # scan, and the 64 MB advisory size squeezed them onto 15-16
+        # tasks (round-3 profile). 16 MB keeps CPU-heavy reducers at or
+        # above core count without reverting to tiny-task scheduling.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                str(16 * 1024 * 1024))
         # cached signature tables are mostly MinHash arrays (random
         # int64s): columnar-cache compression burns CPU for ~no ratio
         # (measured 2x cache-materialization cost at 1.2M rows)

@@ -138,8 +138,9 @@ def test_spark_udf_matches_kernel(spark):
                                        cfg.seed, cfg.anchor_mod,
                                        cfg.max_anchors, params)
         got = out[path]
-        assert bytes(got["minhash"]) == pack_minhash(mh)
-        assert unpack_minhash(bytes(got["minhash"])).tolist() == mh.tolist()
+        assert got["minhash"] == pack_minhash(mh)
+        assert unpack_minhash(got["minhash"]).tolist() == (
+            mh.astype("int64").tolist())
         assert got["simhash"] == sim
         assert got["n_shingles"] == n
         assert got["anchors"] == anc.tolist()
