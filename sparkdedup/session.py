@@ -67,9 +67,16 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", os.environ.get("SPARKDEDUP_UI", "false"))
         .config("spark.ui.showConsoleProgress", "false")
-        # single-JVM local mode: executor==driver heap; size for cached
-        # signature tables + shuffle buffers (GC stalls otherwise)
-        .config("spark.driver.memory", os.environ.get("SPARKDEDUP_DRIVER_MEM", "28g"))
+        # single-JVM local mode: executor==driver heap. Size for cached
+        # signature tables + shuffle buffers — but NOT larger: on
+        # virtualized hosts with slow first-touch page faults, a big G1
+        # heap keeps bump-allocating into never-touched regions and the
+        # whole JVM serializes on faulting; the identical 600k job
+        # measured 238 s wall at 28g vs 111 s at 10g back-to-back
+        # (edge phase 161 s -> 59 s). Small enough that G1 reuses warm
+        # regions, large enough that the 1.2M-file signature caches and
+        # sort buffers stay in memory.
+        .config("spark.driver.memory", os.environ.get("SPARKDEDUP_DRIVER_MEM", "16g"))
     )
     if master:
         b = b.master(master)
