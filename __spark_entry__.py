@@ -341,10 +341,15 @@ def q_embedding_neardup(spark, sf):
 
 def q_streaming_signatures(spark, sf):
     """Structured Streaming featurize over the documents table
-    (availableNow trigger drains it as micro-batches); the resulting
-    signature rows must match the batch pipeline bit-for-bit — rows-only
-    here, with the batch-vs-stream equality asserted in
-    tests/test_streaming.py."""
+    (availableNow trigger drains it as micro-batches), compared
+    BIT-FOR-BIT against the batch pipeline in-query: the result is one
+    ``(doc_id, sig_match)`` row per valid document, where sig_match
+    full-outer-joins the streamed signature row against the batch row
+    over (file_id, sha256, simhash, all-lane minhash hash). DuckDB
+    predicts ``(doc_id, true)`` for exactly the valid-document set, so
+    a missing, extra, or differing streamed row is a hash/row-count
+    mismatch — the round-3 verdict's "both sides are deterministic on
+    the same input" oracle (graduates this entry from rows-only)."""
     import tempfile
 
     from sparkdedup.streaming.ingest import stream_signatures
@@ -370,9 +375,21 @@ def q_streaming_signatures(spark, sf):
          .trigger(availableNow=True).start())
     finished = q.awaitTermination(300)
     assert finished and not q.isActive, "streaming drain did not finish"
-    return (spark.read.parquet(f"{d}/sigs")
-            .select("file_id", "sha256", "simhash",
-                    F.xxhash64("minhash").alias("minhash_h")))
+    streamed = (spark.read.parquet(f"{d}/sigs")
+                .select("path", "file_id", "sha256", "simhash",
+                        F.xxhash64("minhash").alias("mh")))
+    batch = (_doc_sigs(spark, sf, DedupConfig(similarity="similar"))
+             .select("path", F.col("file_id").alias("b_fid"),
+                     F.col("sha256").alias("b_sha"),
+                     F.col("simhash").alias("b_sim"),
+                     F.xxhash64("minhash").alias("b_mh")))
+    j = streamed.join(batch, "path", "full_outer")
+    match = ((F.col("file_id") == F.col("b_fid"))
+             & (F.col("sha256") == F.col("b_sha"))
+             & (F.col("simhash") == F.col("b_sim"))
+             & (F.col("mh") == F.col("b_mh")))
+    return j.select(_doc_id_from_path().alias("doc_id"),
+                    F.coalesce(match, F.lit(False)).alias("sig_match"))
 
 
 def q_media_features(spark, sf):
@@ -647,5 +664,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
                    round(cos_raw, 6) AS cos
             FROM ranked WHERE rank <= 3
+        """,
+        # the Spark side full-outer-joins streamed vs batch signature
+        # rows and emits sig_match per doc; the oracle predicts TRUE
+        # for exactly the valid-document set (split_invalid: non-null,
+        # non-empty, no NUL byte; 'txt' extension is always allowed) —
+        # any missing/extra/differing streamed row breaks the hash
+        "streaming_signatures": """
+            SELECT doc_id, TRUE AS sig_match
+            FROM documents
+            WHERE text IS NOT NULL AND length(text) > 0
+              AND strpos(text, chr(0)) = 0
         """,
     }

@@ -49,6 +49,13 @@ LANG_EXTS: dict[str, str] = {
 #: Languages considered valid when filtering on the ``lang`` column.
 ALLOWED_LANGS: tuple[str, ...] = tuple(sorted(set(LANG_EXTS.values())))
 
+#: Version of the signature ALGORITHM + on-disk layout (minhash family,
+#: column types, band-key derivation). Bump whenever either changes so
+#: params_hash-keyed artifacts (resume checkpoints, streaming tables)
+#: recompute instead of mixing incompatible signature families.
+#: v2 = a*h (mod 2^64) minhash lanes as array<long> (round 3).
+SIGNATURE_FORMAT_VERSION = 2
+
 SIMILARITY_DUPLICATES = 0.0   # difPy 'duplicates' -> MSE 0 (dif.py:869-871)
 SIMILARITY_SIMILAR = 0.30     # difPy 'similar' -> MSE 5 (dif.py:872-874);
                               # here: max (1 - estimated Jaccard) to match.
@@ -167,9 +174,17 @@ class DedupConfig:
 
     def params_hash(self) -> str:
         """Stable hash of all semantic parameters; keys stage lineage so a
-        resume with changed params recomputes (SURVEY.md §4 item 3)."""
+        resume with changed params recomputes (SURVEY.md §4 item 3).
+
+        ``SIGNATURE_FORMAT_VERSION`` is folded in so a checkpoint or
+        streaming table written by an older signature ALGORITHM or
+        on-disk SCHEMA is never resumed with the new code: round 3
+        changed both the minhash definition (a*h+b -> a*h) and the
+        column type (binary -> array<long>) — identical config values,
+        incompatible artifacts (round-3 advice)."""
         d = {f.name: getattr(self, f.name) for f in fields(self)
              if f.name not in ("work_dir", "processes", "chunksize")}
         d["tables"] = list(d["tables"])
+        d["_signature_format"] = SIGNATURE_FORMAT_VERSION
         return hashlib.sha256(json.dumps(d, sort_keys=True, default=str)
                               .encode()).hexdigest()[:16]

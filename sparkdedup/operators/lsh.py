@@ -66,24 +66,28 @@ def _band_keys(cfg: DedupConfig) -> list[str]:
 
 
 def candidate_pairs(sigs: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """Candidate edges ``(src, dst, simhash_src, simhash_dst, gen)``.
+    """Candidate edges ``(src, dst, gen)`` — Hamming-cut, narrow.
 
     ONE shuffle total: ``groupBy`` the band key, collect the (sorted)
     bucket membership, then expand pairs with a per-bucket JVM
     expression that handles both regimes in one branch-free scan —
-    buckets of ≤ ``band_pair_cap`` members emit the full cross-product
-    (with the SimHash Hamming cut applied INSIDE the expansion, difPy's
-    cheap-predicate-first pattern, dif.py:441-449), larger buckets emit
-    a STAR to the bucket minimum. The former shape — a window feeding a
-    small/big branch pair union — planned the band exchange TWICE under
-    AQE (round-3 profile: two identical 441 MB exchange writes at
-    600k files); a single grouped consumer cannot duplicate.
+    buckets of ≤ ``band_pair_cap`` members emit the full cross-product,
+    larger buckets emit a STAR to the bucket minimum. The SimHash
+    Hamming cut (difPy's cheap-predicate-first pattern, dif.py:441-449)
+    is applied INSIDE both expansions, so the emitted pairs are already
+    verified against ``simhash_ham_max`` and carry only 24 bytes of ids
+    — the simhashes never leave the expansion expression. (Round 3
+    carried both simhashes per pair into the cross-band dedup shuffle
+    and re-filtered afterwards; same final pair set, double the pair
+    bytes.) The former shape — a window feeding a small/big branch pair
+    union — planned the band exchange TWICE under AQE (round-3 profile:
+    two identical 441 MB exchange writes at 600k files); a single
+    grouped consumer cannot duplicate.
 
     Memory: a bucket's membership lands in one aggregation buffer
     (16 B/member) — same residency the window variant had per partition
     key. A 10^6-member boilerplate bucket costs 16 MB transient, then
-    emits only its star. SimHash rides along so the Hamming cut runs
-    BEFORE any join back to the (wide) signature table.
+    emits only its star.
     """
     keys = _band_keys(cfg)
     grouped = (explode_bands(sigs, cfg)
@@ -102,27 +106,27 @@ def candidate_pairs(sigs: DataFrame, cfg: DedupConfig) -> DataFrame:
                         y["simhash"].alias("simhash_dst"),
                         gen.alias("gen"))
 
+    def _ham_ok(p):
+        return (F.bit_count(p["simhash_src"].bitwiseXOR(p["simhash_dst"]))
+                <= cfg.simhash_ham_max)
+
     cross = F.filter(
         F.flatten(F.transform(
             ms, lambda x, i: F.transform(
                 F.slice(ms, i + F.lit(2), F.lit(cfg.band_pair_cap)),
                 lambda y: _pair(x, y, F.lit("allpairs"))))),
-        lambda p: F.bit_count(p["simhash_src"].bitwiseXOR(p["simhash_dst"]))
-        <= cfg.simhash_ham_max)
+        _ham_ok)
     root = F.element_at(ms, 1)
-    star = F.transform(F.slice(ms, 2, n - 1),
-                       lambda y: _pair(root, y, F.lit("star")))
+    star = F.filter(
+        F.transform(F.slice(ms, 2, n - 1),
+                    lambda y: _pair(root, y, F.lit("star"))),
+        _ham_ok)
     pairs = F.when(n <= cfg.band_pair_cap, cross).otherwise(star)
     return (grouped.select(F.explode(pairs).alias("_p"))
-            .select("_p.src", "_p.dst", "_p.simhash_src",
-                    "_p.simhash_dst", "_p.gen"))
+            .select("_p.src", "_p.dst", "_p.gen"))
 
 
 def dedup_pairs(pairs: DataFrame) -> DataFrame:
     """Cross-band dedup: a pair co-bucketing in many bands survives once.
     'allpairs' wins over 'star' so stats stay meaningful."""
-    return pairs.groupBy("src", "dst").agg(
-        F.first("simhash_src").alias("simhash_src"),
-        F.first("simhash_dst").alias("simhash_dst"),
-        F.min("gen").alias("gen"),
-    )
+    return pairs.groupBy("src", "dst").agg(F.min("gen").alias("gen"))

@@ -163,7 +163,7 @@ def resumable_run(spark: SparkSession, cfg: DedupConfig,
     from sparkdedup.operators.exact import exact_edges
     from sparkdedup.operators.lsh import candidate_pairs, dedup_pairs
     from sparkdedup.operators.ranking import rank_clusters
-    from sparkdedup.operators.verify import hamming_filter, jaccard_edges
+    from sparkdedup.operators.verify import jaccard_edges
     from sparkdedup.plans.pipeline import build_signatures
     from sparkdedup.sources.files import split_invalid
 
@@ -196,9 +196,8 @@ def resumable_run(spark: SparkSession, cfg: DedupConfig,
         # non-resumable run finds (round-2 advice).
         e = exact_edges(sigs, cfg).withColumn("gen", F.lit("exact"))
         reps = _distinct_reps(sigs, cfg)
-        near = jaccard_edges(
-            hamming_filter(dedup_pairs(candidate_pairs(reps, cfg)), cfg),
-            reps, cfg)
+        near = jaccard_edges(dedup_pairs(candidate_pairs(reps, cfg)),
+                             reps, cfg, handles=handles)
         e = e.unionByName(near)
         if cfg.containment:
             e = e.unionByName(

@@ -28,7 +28,7 @@ import time
 from dataclasses import dataclass, field
 from datetime import datetime
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sparkdedup.config import DedupConfig
@@ -40,7 +40,7 @@ from sparkdedup.operators.containment import containment_edges
 from sparkdedup.operators.exact import exact_edges
 from sparkdedup.operators.lsh import candidate_pairs, dedup_pairs
 from sparkdedup.operators.ranking import lower_quality, rank_clusters
-from sparkdedup.operators.verify import hamming_filter, jaccard_edges
+from sparkdedup.operators.verify import jaccard_edges
 from sparkdedup.sources.files import read_files, split_invalid
 
 #: O23 progress reporting: difPy's console bar (dif.py:947-956) maps to
@@ -76,24 +76,33 @@ def _distinct_reps(sigs: DataFrame, cfg: DedupConfig,
     hash-join back to the full rows (broadcast when small — Catalyst's
     call)."""
     keys = ["sha256"] + (["repo"] if cfg.in_folder else [])
-    w = Window.partitionBy(*keys)
     # anti-join on the LOSERS (non-representative members of dup groups)
     # instead of inner-joining the representative ids: losers are the
     # strictly smaller side (only dup-group members beyond the first),
-    # so the wide signature rows never shuffle; the window itself runs
-    # on a 40 B/row projection. The broadcast is EXPLICIT when the
-    # corpus row count (already known from the materialize count) says
-    # the loser list is driver-safe: Catalyst has no size estimate for
-    # a window output and planned a sort-merge join that shuffled every
-    # full signature row (round-3 profile: 1.2 GB shuffled at 600k
-    # files for a ~100k-row loser list). Above the bound — where a
-    # forced broadcast of an UNBOUNDED dup population could OOM the
-    # driver — fall back to the shuffle anti-join and let AQE convert.
-    losers = (sigs.select("file_id", *keys)
-              .withColumn("_root", F.min("file_id").over(w))
+    # so the wide signature rows never shuffle. The group-min runs as a
+    # groupBy + join back, NOT a window: the aggregate partial-combines
+    # map-side (a 10^7-copy group collapses to one row per map task
+    # before the shuffle, no single-task sort buffer) and its output
+    # has runtime stats at the shuffle boundary, so AQE can broadcast
+    # the small sides on its own. The 40 B/row projection keeps every
+    # exchange narrow.
+    slim = sigs.select("file_id", *keys)
+    groups = (slim.groupBy(*keys)
+              .agg(F.min("file_id").alias("_root"),
+                   F.count(F.lit(1)).alias("_n"))
+              .filter(F.col("_n") > 1)
+              .drop("_n"))
+    losers = (slim.join(groups, keys)
               .filter(F.col("file_id") != F.col("_root"))
               .select("file_id"))
-    if n_rows is not None and n_rows <= 20_000_000:
+    # The anti-join broadcast is EXPLICIT when the corpus row count
+    # (known from the materialize count) bounds the loser list well
+    # under spark.driver.maxResultSize (4g, session.py): 4M ids is a
+    # ~64 MB UnsafeRow relation. Round-3 used 20M, which could approach
+    # the driver ceiling on a real cluster (round-3 advice); above the
+    # bound the shuffle anti-join stands and AQE converts when the
+    # runtime size allows.
+    if n_rows is not None and n_rows <= 4_000_000:
         losers = F.broadcast(losers)
     return sigs.join(losers, "file_id", "left_anti")
 
@@ -299,17 +308,17 @@ def search_clusters(sigs: DataFrame, invalid: DataFrame,
     reps = _distinct_reps(sigs, cfg, n_rows=n_sigs).persist()
     log.info("search: %d distinct-content representatives", reps.count())
 
+    persisted = [sigs, reps]
     # The near stage runs at threshold 0 too: difPy's 'duplicates' is
     # MSE == 0, which matches files that are not byte-identical
     # (dif.py:450,461); here dist <= 0 admits pairs whose MinHash agrees
     # on every lane (whitespace-normalized / shingle-set-equal files)
-    # that sha256 grouping alone would miss.
-    near = jaccard_edges(
-        hamming_filter(dedup_pairs(candidate_pairs(reps, cfg)), cfg),
-        reps, cfg)
+    # that sha256 grouping alone would miss. The Hamming cut runs
+    # inside the band-bucket expansion (operators/lsh.py), so the pairs
+    # arrive narrow and pre-cut.
+    near = jaccard_edges(dedup_pairs(candidate_pairs(reps, cfg)),
+                         reps, cfg, handles=persisted)
     edges = edges.unionByName(near)
-
-    persisted = [sigs, reps]
     if cfg.containment:
         cont = containment_edges(reps, cfg, handles=persisted).withColumn(
             "gen", F.lit("contain"))

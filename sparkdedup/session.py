@@ -77,6 +77,11 @@ def get_spark(
         # regions, large enough that the 1.2M-file signature caches and
         # sort buffers stay in memory.
         .config("spark.driver.memory", os.environ.get("SPARKDEDUP_DRIVER_MEM", "16g"))
+        # explicit broadcasts of id lists (reps anti-join, verify-stage
+        # semi-joins) are gated on row counts sized well under this
+        # ceiling; the 1g default would make a gated-at-4M-rows
+        # broadcast a config-dependent failure on a real cluster.
+        .config("spark.driver.maxResultSize", "4g")
     )
     if master:
         b = b.master(master)
