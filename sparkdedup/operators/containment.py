@@ -15,10 +15,12 @@ Two stages, both distributed:
    BY CONSTRUCTION (a bottom-t MinHash sketch lacks this property: on
    low-entropy corpora it degenerates to globally common shingles).
    Index = every file's anchors (~n_shingles/mod rows per file, linear);
-   probe = the same, restricted to files above ``min_contain_chars``;
-   stopword-like anchors (document frequency > ``contain_df_cap``) are
-   dropped from BOTH sides; a candidate must agree on
-   ``contain_agree_frac`` of the small file's rare anchors.
+   probe = ONE row per file above ``min_contain_chars``: its minimum
+   rare anchor (1-element prefix filter — recall-lossless because a
+   container holds every rare anchor of its containees); stopword-like
+   anchors (document frequency > ``contain_df_cap``) are dropped from
+   BOTH sides. Exact anchor-subset precision comes from the per-pair
+   ``anchor_subset_gate`` before any content moves.
 2. **Exact verification** with a per-big-file SUFFIX ARRAY
    (rank-doubling construction, numpy argsort, O(n log^2 n)): pattern
    lookup is binary search over suffixes. Runs inside ``mapInPandas`` on
@@ -96,54 +98,49 @@ def containment_candidates(sigs: DataFrame, cfg: DedupConfig,
     by more than ``contain_df_cap`` files are stopword-analogues with no
     containment signal — they are dropped from BOTH probe and index
     (consistently, so the subset property survives on the rare subset).
-    A candidate must match on at least ``contain_agree_frac`` of the
-    small file's rare anchors — near-exact precision before the
-    suffix-array verify, and join fan-out bounded by df_cap^2 per hash.
+
+    The probe side carries ONE row per small file: its MINIMUM rare
+    anchor. True containment implies the big holds EVERY rare anchor of
+    the small — the minimum included — so single-anchor probing has
+    perfect recall (for uncapped bigs, same precondition as the subset
+    gate), while join fan-out is bounded by ``contain_df_cap`` PER
+    SMALL FILE instead of df_cap^2 per anchor. (Round 4: the former
+    probe-with-every-anchor shape expanded to 37.5M intermediate rows
+    at 600k files — ~127 shared anchors per related pair — just to
+    count agreement the per-pair ``anchor_subset_gate`` re-derives
+    exactly from the anchor arrays anyway. This is the classic prefix-
+    filter move from set-similarity joins, taken to its containment
+    limit: a 1-element prefix.)
+
+    The document-frequency cut never shuffles the exploded anchor
+    table: df is a groupBy (map-side partial aggregate, only (h, count)
+    rows cross the wire) and the over-cap "hot" list is tiny by
+    construction (#hot <= total_anchor_rows / df_cap), so AQE converts
+    the anti-join to a broadcast at runtime. The former
+    Window.partitionBy("h") shape shuffled AND sort-buffered all
+    ~n_files x anchors rows just to attach a count.
     """
     anchors = sigs.select(
         F.col("file_id"), F.col("n_chars"), F.explode("anchors").alias("h"))
-    # Stopword cut WITHOUT shuffling the exploded anchor table: the
-    # document-frequency count is a groupBy (map-side partial aggregate,
-    # only (h, count) rows cross the wire) and the over-cap "hot" list
-    # is tiny by construction (#hot <= total_anchor_rows / df_cap), so
-    # AQE converts the anti-join to a broadcast at runtime and the
-    # anchor rows never move. The former Window.partitionBy("h") shape
-    # shuffled AND sort-buffered all ~n_files x anchors rows just to
-    # attach a count (round-4: 600k-file cont_cand stage scaled at 0.54
-    # from 2->8 cores — the window sort is memory-bus-bound).
     hot = (anchors.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
            .filter(F.col("_df") > cfg.contain_df_cap)
            .select("h"))
-    # ONE explicit exchange on h, persisted: probe and index are
-    # co-partitioned projections of this cache, so the inverted-index
-    # self-join below needs no further shuffle of anchor rows.
-    rare = (anchors.join(hot, "h", "left_anti")
-            .repartition("h")
-            .persist())
-    if handles is not None:
-        handles.append(rare)  # caller unpersists via SearchResult.release()
+    rare = anchors.join(hot, "h", "left_anti")
+    # min rare anchor per small: a groupBy over the small side only
+    # (partial-combining; one output row per probing file)
     probe = (rare.filter(F.col("n_chars") >= cfg.min_contain_chars)
+             .groupBy("file_id", "n_chars")
+             .agg(F.min("h").alias("h"))
              .select(F.col("file_id").alias("small_id"),
                      F.col("n_chars").alias("small_chars"), "h"))
-    n_rare = probe.groupBy("small_id").agg(
-        F.count(F.lit(1)).alias("_n_rare"))
     index = rare.select(F.col("file_id").alias("big_id"),
                         F.col("n_chars").alias("big_chars"), "h")
-    agree = (probe.join(index, "h")
-             .filter(F.col("small_chars") < F.col("big_chars"))
-             .filter(F.col("small_id") != F.col("big_id"))
-             .groupBy("small_id", "big_id", "small_chars", "big_chars")
-             .agg(F.count(F.lit(1)).alias("_agree")))
-    # >= 1, not >= 2: low-entropy short files can collapse to a single
-    # unique anchor (all their shingles repeat); requiring two anchors
-    # silently loses their containers. Precision is unaffected — the
-    # suffix-array verify is exact — and fan-out stays bounded by
-    # contain_df_cap^2 pairs per anchor.
-    return (agree.join(n_rare, "small_id")
-            .filter((F.col("_n_rare") >= 1)
-                    & (F.col("_agree")
-                       >= F.ceil(F.col("_n_rare")
-                                 * F.lit(cfg.contain_agree_frac))))
+    # anchors are distinct within a file, and each small probes with
+    # exactly one anchor, so the join emits each (small, big) pair at
+    # most once — no dedup aggregate needed
+    return (probe.join(index, "h")
+            .filter(F.col("small_chars") < F.col("big_chars"))
+            .filter(F.col("small_id") != F.col("big_id"))
             .select("small_id", "big_id", "small_chars", "big_chars"))
 
 
@@ -225,15 +222,17 @@ def verify_containment(cands: DataFrame, sigs: DataFrame) -> DataFrame:
 def anchor_subset_gate(cands: DataFrame, sigs: DataFrame,
                        cfg: DedupConfig) -> DataFrame:
     """Precision gate between candidate gen and the (content-heavy)
-    suffix-array verify: TRUE containment implies anchors(small) is a
-    subset of anchors(big) whenever big's anchor sketch is uncapped
-    (anchors are pure functions of content; every k-gram of a contained
-    text is a k-gram of its container). Requiring the FULL subset on the
-    complete anchor arrays (array_intersect, <=max_anchors ints a side)
-    kills near-miss candidates before their contents are ever joined —
-    zero recall loss by construction. Capped big sides (>=max_anchors)
-    skip the gate: their kept smallest-512 set may legitimately miss
-    small's anchors."""
+    suffix-array verify — since round 4 the ONLY precision filter
+    (candidate gen probes with a single min-anchor and counts nothing):
+    TRUE containment implies anchors(small) is a subset of anchors(big)
+    whenever big's anchor sketch is uncapped (anchors are pure
+    functions of content; every k-gram of a contained text is a k-gram
+    of its container). Requiring the FULL subset on the complete anchor
+    arrays (array_intersect, <=max_anchors ints a side) kills near-miss
+    candidates before their contents are ever joined — zero recall loss
+    by construction. Capped big sides (>=max_anchors) skip the gate and
+    go straight to the exact suffix-array verify: their kept
+    smallest-512 set may legitimately miss small's anchors."""
     anch = sigs.select("file_id", "anchors")
     return (cands
             .join(anch.withColumnRenamed("anchors", "_sa"),

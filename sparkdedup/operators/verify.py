@@ -51,58 +51,26 @@ def min_agreeing_lanes(cfg: DedupConfig) -> int:
     return max(0, math.ceil(cfg.num_perm * (1.0 - cfg.threshold) - 1e-9))
 
 
-def jaccard_edges(pairs: DataFrame, sigs: DataFrame, cfg: DedupConfig,
-                  handles: list | None = None) -> DataFrame:
+def jaccard_edges(pairs: DataFrame, sigs: DataFrame,
+                  cfg: DedupConfig) -> DataFrame:
     """MinHash-lane verification of candidate pairs; keeps pairs with
     ``dist = 1 - est_jaccard <= cfg.threshold``. Emits
-    ``(src, dst, dist, kind='near', gen)``.
+    ``(src, dst, dist, kind='near', gen)``. Two hash joins on file_id;
+    the lane agreement is a single vectorized array expression.
 
-    Two phases, chosen to keep shuffle bytes off the memory bus
-    (round-3 verdict: the verify joins moved full 128-lane int64 arrays
-    — ~1 KB a side — per candidate, and the pair->signature join
-    intermediate re-shuffled them on the second key):
-
-    1. **Digest pre-filter.** Each file's minhash collapses to an
-       ``array<tinyint>`` of the low 6 bits per lane (~136 B, 8x
-       narrower). Lane equality implies digest equality, so
-       ``digest_agree >= min_agreeing_lanes`` is a strict SUPERSET of
-       the exact pass set — no pair is lost. A disagreeing lane aliases
-       with p=1/64, inflating digest agreement by ~2 lanes in 128, so
-       the filter still kills ~all of the Hamming survivors that are
-       below threshold.
-    2. **Exact verify, late fetch.** Survivors re-join the FULL minhash
-       — but the signature side is first semi-join-pruned to the
-       surviving ids (AQE broadcasts the id list at runtime; no forced
-       broadcast, so a huge survivor set degrades to a shuffle join,
-       not a driver OOM). ``dist`` is computed from full 64-bit lanes:
-       bit-identical results to a single-phase exact join.
-
-    The survivor frame is persisted (it feeds both the id pruning and
-    the final join); the caller owns release via ``handles``, the same
-    contract as containment_edges.
+    ``pairs`` arrives NARROW (src, dst, gen — the Hamming cut already
+    ran inside the band expansion, operators/lsh.py), so the only wide
+    bytes in this stage are the minhash arrays themselves, joined once
+    per side. A low-bit digest PRE-filter before this join was built
+    and measured in round 4 and rejected: after the Hamming cut ~41%
+    of surviving candidates are true positives on the planted corpus,
+    so the extra digest join + survivor re-join cost ~3x the single
+    exact join it was meant to shrink (600k files, same-session A/B).
     """
-    digests = sigs.select(
-        "file_id",
-        F.transform("minhash",
-                    lambda x: x.bitwiseAND(F.lit(63)).cast("tinyint"))
-        .alias("dg"))
-    j = (pairs
-         .join(digests.withColumnRenamed("dg", "dg_src"),
-               pairs["src"] == digests["file_id"]).drop("file_id")
-         .join(digests.withColumnRenamed("dg", "dg_dst").alias("d2"),
-               F.col("dst") == F.col("d2.file_id")).drop("file_id"))
-    surv = (j.filter(_lane_agree("dg_src", "dg_dst")
-                     >= F.lit(min_agreeing_lanes(cfg)))
-            .select("src", "dst", "gen")
-            .persist())
-    if handles is not None:
-        handles.append(surv)
-    ids = surv.select(F.explode(F.array("src", "dst")).alias("file_id")) \
-              .distinct()
-    mh = sigs.select("file_id", "minhash").join(ids, "file_id")
-    joined = (surv
+    mh = sigs.select("file_id", "minhash")
+    joined = (pairs
               .join(mh.withColumnRenamed("minhash", "mh_src"),
-                    surv["src"] == mh["file_id"]).drop("file_id")
+                    pairs["src"] == mh["file_id"]).drop("file_id")
               .join(mh.withColumnRenamed("minhash", "mh_dst").alias("m2"),
                     F.col("dst") == F.col("m2.file_id")).drop("file_id"))
     agree = _lane_agree("mh_src", "mh_dst")

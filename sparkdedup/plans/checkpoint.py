@@ -197,7 +197,7 @@ def resumable_run(spark: SparkSession, cfg: DedupConfig,
         e = exact_edges(sigs, cfg).withColumn("gen", F.lit("exact"))
         reps = _distinct_reps(sigs, cfg)
         near = jaccard_edges(dedup_pairs(candidate_pairs(reps, cfg)),
-                             reps, cfg, handles=handles)
+                             reps, cfg)
         e = e.unionByName(near)
         if cfg.containment:
             e = e.unionByName(

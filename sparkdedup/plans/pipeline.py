@@ -317,7 +317,7 @@ def search_clusters(sigs: DataFrame, invalid: DataFrame,
     # inside the band-bucket expansion (operators/lsh.py), so the pairs
     # arrive narrow and pre-cut.
     near = jaccard_edges(dedup_pairs(candidate_pairs(reps, cfg)),
-                         reps, cfg, handles=persisted)
+                         reps, cfg)
     edges = edges.unionByName(near)
     if cfg.containment:
         cont = containment_edges(reps, cfg, handles=persisted).withColumn(

@@ -120,12 +120,10 @@ def _history(spark: SparkSession, path: str, batch_id: int) -> DataFrame:
 
 
 def _near_dup_edges(spark: SparkSession, sigs: DataFrame, cfg: DedupConfig,
-                    sig_dir: str, bands_dir: str, batch_id: int,
-                    handles: list) -> DataFrame:
+                    sig_dir: str, bands_dir: str, batch_id: int) -> DataFrame:
     """Near-dup edges for a micro-batch: within-batch LSH pairs plus
     cross-batch pairs from the accumulated band-key table, verified by
-    the same digest-prefilter + MinHash-lane machinery as the batch
-    pipeline. Pairs are narrow (src, dst, gen) with the Hamming cut
+    the same MinHash-lane machinery as the batch pipeline. Pairs are narrow (src, dst, gen) with the Hamming cut
     applied where the simhashes are already at hand."""
     within = dedup_pairs(candidate_pairs(sigs, cfg))
     keys = _band_keys(cfg)
@@ -176,7 +174,7 @@ def _near_dup_edges(spark: SparkSession, sigs: DataFrame, cfg: DedupConfig,
         mh = mh_batch.unionByName(mh_hist).dropDuplicates(["file_id"])
     else:
         mh = mh_batch
-    return jaccard_edges(pairs, mh, cfg, handles=handles).drop("gen")
+    return jaccard_edges(pairs, mh, cfg).drop("gen")
 
 
 def _merge_clusters(spark: SparkSession, epoch_edges: DataFrame,
@@ -269,7 +267,6 @@ def _merge_batch(batch: DataFrame, batch_id: int, cfg: DedupConfig,
                                  F.substring("sha256", 1,
                                              SHA_BUCKETS_PREFIX_LEN)))
             .persist())  # ONE featurize pass feeds every branch below
-    handles: list = []   # verify-stage persists, freed after the write
     try:
         if sigs.count() == 0:
             return
@@ -306,7 +303,7 @@ def _merge_batch(batch: DataFrame, batch_id: int, cfg: DedupConfig,
             edges = edges.unionByName(vs_hist)
         if bands_dir is not None:
             edges = edges.unionByName(_near_dup_edges(
-                spark, sigs, cfg, sig_dir, bands_dir, batch_id, handles))
+                spark, sigs, cfg, sig_dir, bands_dir, batch_id))
         # one row per unordered pair, best distance wins — the same
         # dedup the batch pipeline applies before its sink (a pair can
         # be both an exact dup and a multi-band near survivor)
@@ -325,8 +322,6 @@ def _merge_batch(batch: DataFrame, batch_id: int, cfg: DedupConfig,
          .parquet(f"{sig_dir}/{epoch}"))
     finally:
         sigs.unpersist()
-        for df in handles:
-            df.unpersist()
 
 
 def incremental_dedup(spark: SparkSession, cfg: DedupConfig,

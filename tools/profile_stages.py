@@ -57,13 +57,20 @@ def run_job(n_files: int, cpus: int, evdir: str) -> dict:
 
 
 def parse_eventlog(evdir: str, top: int = 25) -> list[tuple]:
-    """(task-seconds, wall-seconds, n_tasks, stage name + callsite)."""
+    """(task-seconds, wall-seconds, n_tasks, MB shuffled, stage name).
+
+    Also prints a whole-app shuffle-byte total — the round-4 metric for
+    "edge-phase bytes reduced": shuffle WRITE bytes count each exchange
+    once (reads double-count re-read cached exchanges)."""
     rows = []
+    totals = {"write_mb": 0.0, "read_mb": 0.0, "task_sec": 0.0}
     files = [p for p in Path(evdir).rglob("events_*") if p.is_file()]
     for f in files:
         by_stage: dict = {}
         task_time: dict = defaultdict(float)
         n_tasks: dict = defaultdict(int)
+        sh_write: dict = defaultdict(float)
+        sh_read: dict = defaultdict(float)
         if f.name.endswith(".zstd"):
             import pyarrow as pa
             with pa.CompressedInputStream(pa.OSFile(str(f)), "zstd") as s:
@@ -89,10 +96,21 @@ def parse_eventlog(evdir: str, top: int = 25) -> list[tuple]:
                 task_time[sid] += (ti.get("Finish Time", 0)
                                    - ti.get("Launch Time", 0)) / 1e3
                 n_tasks[sid] += 1
+                tm = ev.get("Task Metrics") or {}
+                sw = (tm.get("Shuffle Write Metrics") or {})
+                sr = (tm.get("Shuffle Read Metrics") or {})
+                sh_write[sid] += sw.get("Shuffle Bytes Written", 0) / 1e6
+                sh_read[sid] += (sr.get("Local Bytes Read", 0)
+                                 + sr.get("Remote Bytes Read", 0)) / 1e6
         for sid, (name, wall) in by_stage.items():
             rows.append((task_time[sid], wall, n_tasks[sid],
-                         f"s{sid} {name}"))
+                         sh_write[sid] + sh_read[sid], f"s{sid} {name}"))
+            totals["write_mb"] += sh_write[sid]
+            totals["read_mb"] += sh_read[sid]
+            totals["task_sec"] += task_time[sid]
     rows.sort(reverse=True)
+    print(json.dumps({"totals": {k: round(v, 1)
+                                 for k, v in totals.items()}}))
     return rows[:top]
 
 
@@ -102,9 +120,9 @@ def main() -> None:
     evdir = tempfile.mkdtemp(prefix="sparkdedup-ev-")
     out = run_job(n_files, cpus, evdir)
     print(json.dumps(out))
-    print(f"{'task-sec':>9} {'wall-sec':>9} {'tasks':>6}  stage")
-    for tsec, wall, n, name in parse_eventlog(evdir):
-        print(f"{tsec:9.1f} {wall:9.1f} {n:6d}  {name[:110]}")
+    print(f"{'task-sec':>9} {'wall-sec':>9} {'tasks':>6} {'shuf-MB':>8}  stage")
+    for tsec, wall, n, mb, name in parse_eventlog(evdir):
+        print(f"{tsec:9.1f} {wall:9.1f} {n:6d} {mb:8.1f}  {name[:100]}")
 
 
 if __name__ == "__main__":
