@@ -125,22 +125,47 @@ def containment_candidates(sigs: DataFrame, cfg: DedupConfig,
     hot = (anchors.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
            .filter(F.col("_df") > cfg.contain_df_cap)
            .select("h"))
-    rare = anchors.join(hot, "h", "left_anti")
-    # min rare anchor per small: a groupBy over the small side only
-    # (partial-combining; one output row per probing file)
+    # persisted: rare feeds BOTH the probe and the index side of the
+    # join below — without the cache the anchor explode + df groupBy +
+    # anti-join execute twice (measured round 4: the un-persisted shape
+    # doubled the stage's shuffle bytes in the integrated pipeline)
+    rare = anchors.join(hot, "h", "left_anti").persist()
+    if handles is not None:
+        handles.append(rare)  # caller unpersists via SearchResult.release()
+    # the TWO smallest rare anchors per small (one groupBy over the
+    # small side; one output row per probing file). A pair must share
+    # BOTH: the equi-join on h1 finds candidates, the composite-key
+    # semi-join on (big_id, h2) kills single-anchor coincidences —
+    # still recall-lossless (a container holds every rare anchor of
+    # its containee), and measured necessary: min-1-anchor probing
+    # admitted 6.78M candidate pairs at 600k files whose anchor-array
+    # gate joins re-inflated the shuffle the probe was built to avoid.
+    # Smalls with exactly ONE rare anchor keep the 1-anchor probe
+    # (the round-2 low-entropy recall lesson: never require 2).
     probe = (rare.filter(F.col("n_chars") >= cfg.min_contain_chars)
              .groupBy("file_id", "n_chars")
-             .agg(F.min("h").alias("h"))
+             .agg(F.slice(F.array_sort(F.collect_list("h")), 1, 2)
+                  .alias("_hs"))
              .select(F.col("file_id").alias("small_id"),
-                     F.col("n_chars").alias("small_chars"), "h"))
+                     F.col("n_chars").alias("small_chars"),
+                     F.element_at("_hs", 1).alias("h"),
+                     # try_: ANSI element_at throws on 1-anchor smalls
+                     F.try_element_at("_hs", F.lit(2)).alias("h2")))
     index = rare.select(F.col("file_id").alias("big_id"),
                         F.col("n_chars").alias("big_chars"), "h")
     # anchors are distinct within a file, and each small probes with
-    # exactly one anchor, so the join emits each (small, big) pair at
-    # most once — no dedup aggregate needed
-    return (probe.join(index, "h")
-            .filter(F.col("small_chars") < F.col("big_chars"))
-            .filter(F.col("small_id") != F.col("big_id"))
+    # exactly one equi-join anchor, so the join emits each (small, big)
+    # pair at most once — no dedup aggregate needed
+    c1 = (probe.join(index, "h")
+          .filter(F.col("small_chars") < F.col("big_chars"))
+          .filter(F.col("small_id") != F.col("big_id"))
+          .select("small_id", "big_id", "small_chars", "big_chars", "h2"))
+    idx2 = rare.select(F.col("file_id").alias("big_id"),
+                       F.col("h").alias("h2"))
+    confirmed = (c1.filter(F.col("h2").isNotNull())
+                 .join(idx2, ["big_id", "h2"], "left_semi"))
+    single = c1.filter(F.col("h2").isNull())
+    return (confirmed.unionByName(single)
             .select("small_id", "big_id", "small_chars", "big_chars"))
 
 
@@ -247,6 +272,13 @@ def anchor_subset_gate(cands: DataFrame, sigs: DataFrame,
 
 def containment_edges(sigs: DataFrame, cfg: DedupConfig,
                       handles: list | None = None) -> DataFrame:
+    # persisted: verify_containment consumes the candidate set THREE
+    # times (small-id prune, big-id prune, join spine) — without the
+    # cache the whole anchor-index + gate pipeline executes per use
+    # (measured round 4: 2.5x shuffle bytes, 2x wall on the integrated
+    # 600k job). The set is tiny (ids + lengths).
     cands = anchor_subset_gate(
-        containment_candidates(sigs, cfg, handles), sigs, cfg)
+        containment_candidates(sigs, cfg, handles), sigs, cfg).persist()
+    if handles is not None:
+        handles.append(cands)
     return verify_containment(cands, sigs)
