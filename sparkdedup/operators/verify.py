@@ -17,8 +17,6 @@ agreement. No Python in the per-pair hot path.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -45,29 +43,38 @@ def _lane_agree(a: str, b: str) -> F.Column:
         F.lit(0), lambda acc, x: acc + x)
 
 
-def min_agreeing_lanes(cfg: DedupConfig) -> int:
-    """Smallest lane-agreement count that passes the threshold:
-    ``dist = 1 - agree/num_perm <= threshold  <=>  agree >= this``."""
-    return max(0, math.ceil(cfg.num_perm * (1.0 - cfg.threshold) - 1e-9))
-
-
 def jaccard_edges(pairs: DataFrame, sigs: DataFrame,
                   cfg: DedupConfig) -> DataFrame:
     """MinHash-lane verification of candidate pairs; keeps pairs with
     ``dist = 1 - est_jaccard <= cfg.threshold``. Emits
-    ``(src, dst, dist, kind='near', gen)``. Two hash joins on file_id;
-    the lane agreement is a single vectorized array expression.
+    ``(src, dst, dist, kind='near', gen)``.
 
     ``pairs`` arrives NARROW (src, dst, gen — the Hamming cut already
-    ran inside the band expansion, operators/lsh.py), so the only wide
-    bytes in this stage are the minhash arrays themselves, joined once
-    per side. A low-bit digest PRE-filter before this join was built
-    and measured in round 4 and rejected: after the Hamming cut ~41%
-    of surviving candidates are true positives on the planted corpus,
-    so the extra digest join + survivor re-join cost ~3x the single
-    exact join it was meant to shrink (600k files, same-session A/B).
+    ran inside the band expansion, operators/lsh.py). The wide minhash
+    table is SEMI-JOIN-PRUNED to the candidate-pair ids BEFORE the two
+    per-side hash joins: the pair set is orders of magnitude smaller
+    than the corpus, so without the prune both joins re-shuffled every
+    file's 128-lane (1 KB) signature row regardless of how few pairs
+    survived the banding — the same discipline the round-4 containment
+    verify gained (operators/containment.py), applied here per the
+    round-4 verdict. The id list is a distinct over the narrow pairs;
+    AQE sizes it at runtime and broadcasts the semi-join, so the wide
+    side never moves for ids that no pair references. The ``pairs``
+    subplan appears three times (two id projections + the join spine),
+    but its shuffles are identical subtrees that Spark's exchange reuse
+    (ReusedExchange / AQE stage reuse) materializes once — the band
+    expansion below the dedup exchange is not recomputed.
+
+    A low-bit digest PRE-filter before this join was built and measured
+    in round 4 and rejected: after the Hamming cut ~41% of surviving
+    candidates are true positives on the planted corpus, so the extra
+    digest join + survivor re-join cost ~3x the single exact join it
+    was meant to shrink (600k files, same-session A/B).
     """
-    mh = sigs.select("file_id", "minhash")
+    ids = (pairs.select(F.col("src").alias("file_id"))
+           .unionByName(pairs.select(F.col("dst").alias("file_id")))
+           .distinct())
+    mh = sigs.select("file_id", "minhash").join(ids, "file_id", "left_semi")
     joined = (pairs
               .join(mh.withColumnRenamed("minhash", "mh_src"),
                     pairs["src"] == mh["file_id"]).drop("file_id")

@@ -184,9 +184,6 @@ def resumable_run(spark: SparkSession, cfg: DedupConfig,
     sigs = runner.bucketed_stage("signatures", valid, featurize)
     _check("signatures")
 
-    handles: list = []   # DataFrames persisted inside containment —
-                         # unpersisted once the edges stage materializes
-
     def edges_build() -> DataFrame:
         # Mirror pipeline.search_clusters exactly: reps computed ONCE and
         # shared by the near and containment branches. Containment must
@@ -200,18 +197,20 @@ def resumable_run(spark: SparkSession, cfg: DedupConfig,
                              reps, cfg)
         e = e.unionByName(near)
         if cfg.containment:
+            # containment stage frees its own transient storage
             e = e.unionByName(
-                containment_edges(reps, cfg, handles=handles).withColumn(
+                containment_edges(reps, cfg).withColumn(
                     "gen", F.lit("contain")))
+        # struct tie-break: ties on dist are real (exact + all-lane near
+        # both at 0.0) and min_by alone is nondeterministic on them — a
+        # resumed run must reproduce the original stage byte-for-byte
         return e.groupBy("src", "dst").agg(
             F.min("dist").alias("dist"),
-            F.min_by("kind", "dist").alias("kind"),
+            F.min_by("kind", F.struct(F.col("dist"), F.col("kind")))
+            .alias("kind"),
             F.min("gen").alias("gen"))
 
     edges = runner.stage("edges", edges_build)
-    for df in handles:   # anchor index etc. — free executor storage
-        df.unpersist()
-    handles.clear()
     _check("edges")
 
     clusters = runner.stage("clusters",

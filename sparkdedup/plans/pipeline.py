@@ -320,13 +320,22 @@ def search_clusters(sigs: DataFrame, invalid: DataFrame,
                          reps, cfg)
     edges = edges.unionByName(near)
     if cfg.containment:
-        cont = containment_edges(reps, cfg, handles=persisted).withColumn(
+        # containment_edges manages its own transient storage (eager
+        # localCheckpoint + internal unpersist) — nothing to release here
+        cont = containment_edges(reps, cfg).withColumn(
             "gen", F.lit("contain"))
         edges = edges.unionByName(cont)
 
+    # min_by over (dist, kind) — NOT dist alone: a pair can carry the
+    # same best distance under two kinds (byte-identical files are both
+    # an exact edge and an all-lane near edge at dist 0.0), and min_by
+    # on a tied ordering key is nondeterministic, so replays/re-runs
+    # could flip the label. The struct tie-break is total ('exact' <
+    # 'near' lexicographically — exact wins ties, the right semantics).
     edges = edges.groupBy("src", "dst").agg(
         F.min("dist").alias("dist"),
-        F.min_by("kind", "dist").alias("kind"),
+        F.min_by("kind", F.struct(F.col("dist"), F.col("kind")))
+        .alias("kind"),
         F.min("gen").alias("gen"),
     ).persist()
     persisted.append(edges)

@@ -128,6 +128,16 @@ def test_hot_container_content_moves_once(spark):
             spark.createDataFrame(rows, SCHEMA)))), cfg).persist()
     edges = containment_edges(sigs, cfg)
     plan = edges._jdf.queryExecution().executedPlan().toString()
+    # Plan-shape property this test is named for: the big text is
+    # attached ABOVE the explicit big_id repartition — the exchange
+    # input carries the small patterns but never big_content, so a hot
+    # container's text crosses the shuffle once per big file, not once
+    # per candidate pair.
+    assert "REPARTITION_BY_COL" in plan
+    below_repart = plan.split("REPARTITION_BY_COL", 1)[1]
+    exchange_input = below_repart.split("\n", 2)[1]  # Project feeding it
+    assert "small_content" in exchange_input
+    assert "big_content" not in exchange_input
     rows_out = edges.collect()
     sigs.unpersist()
     ids = {r["path"]: r["file_id"] for r in
@@ -135,3 +145,53 @@ def test_hot_container_content_moves_once(spark):
     assert len(rows_out) == 500
     assert {e["src"] for e in rows_out} == {ids["big.py"]}
     assert all(e["kind"] == "contained" for e in rows_out)
+
+
+def _random_words(n: int, rng) -> str:
+    return " ".join("".join(rng.choice("abcdefghijklmnopqrstuvwxyz")
+                            for _ in range(6)) for _ in range(n))
+
+
+def test_capped_big_containment_recall(spark):
+    """Round-4 verdict "What's wrong #5": a container whose anchor
+    sketch hit the ``max_anchors`` cap keeps only the uint64-smallest
+    anchors, so the second-anchor confirmation join can deterministically
+    drop a TRUE containment pair whose second probe anchor lies above
+    the big's kept range. Planted fixture (searched over deterministic
+    seeds, preconditions re-asserted below): big capped at max_anchors,
+    small's uint64-min anchor inside the big's kept set, small's
+    uint64-second-min anchor OUTSIDE it — the edge must still be found
+    (capped bigs pass on the first-anchor hit alone)."""
+    import random
+
+    from sparkdedup.functions.shingles import signature_of
+
+    cfg = DedupConfig(containment=True, anchor_mod=2, max_anchors=8)
+    rng = random.Random(1002)
+    small = _random_words(30, rng)
+    big = (_random_words(150, rng) + " " + small + " "
+           + _random_words(150, rng))
+    _, _, _, sa = signature_of(small, cfg.shingle_k, 8, cfg.seed,
+                               cfg.anchor_mod, cfg.max_anchors)
+    _, _, _, ba = signature_of(big, cfg.shingle_k, 8, cfg.seed,
+                               cfg.anchor_mod, cfg.max_anchors)
+    su = sorted(x % 2**64 for x in sa.tolist())
+    bset = {x % 2**64 for x in ba.tolist()}
+    # fixture preconditions — if the shingle hash family changes, find a
+    # new seed (see the search loop in the round-5 session notes)
+    assert len(ba) == cfg.max_anchors, "big must be capped"
+    assert su[0] in bset, "small's uint64-min anchor must be kept by big"
+    assert su[1] not in bset, \
+        "small's second anchor must fall outside the big's kept range"
+    rows = [("r", "small.txt", "c", "text", small),
+            ("r", "big.txt", "c", "text", big)]
+    sigs = with_signature(
+        with_length_cols(with_sha256(with_file_id(
+            spark.createDataFrame(rows, SCHEMA)))), cfg)
+    edges = containment_edges(sigs, cfg).collect()
+    ids = {r["path"]: r["file_id"]
+           for r in sigs.select("path", "file_id").collect()}
+    assert len(edges) == 1
+    assert edges[0]["src"] == ids["big.txt"]
+    assert edges[0]["dst"] == ids["small.txt"]
+    assert edges[0]["kind"] == "contained"
