@@ -185,9 +185,52 @@ def q_minhash_signatures(spark, sf):
 
 
 def q_lsh_candidate_pairs(spark, sf):
+    """Candidate-coverage oracle (round-4 verdict ask #7, the same
+    graduation move as ``streaming_signatures``): compute the TRUTH
+    pair set — exact char-shingle Jaccard >= tau over ALL length-
+    compatible pairs, INDEPENDENTLY of the banding — and flag each
+    truth pair with whether MinHash-LSH banding emitted it as a
+    candidate. The DuckDB oracle computes the identical all-pairs truth
+    with ``in_candidates = TRUE``, so a green hash proves banding
+    recall is exactly 1.0 at tau on this corpus (a miss surfaces as a
+    FALSE flag, a value mismatch — not just a row-count drift). The
+    all-pairs truth join is quadratic BY DESIGN: this is an oracle
+    query run at correctness scale, not a production path (the engine's
+    own scale path is the banding under test)."""
     cfg = DedupConfig(similarity="similar")
-    s = _doc_sigs(spark, sf, cfg)
-    return dedup_pairs(candidate_pairs(s, cfg)).select("src", "dst", "gen")
+    s = _doc_sigs(spark, sf, cfg).persist()
+    cand = dedup_pairs(candidate_pairs(s, cfg)).select("src", "dst")
+    ids = s.select("file_id", _doc_id_from_path().alias("doc_id"))
+    cand_docs = (cand
+                 .join(ids.withColumnRenamed("doc_id", "da"),
+                       cand["src"] == ids["file_id"]).drop("file_id")
+                 .join(ids.withColumnRenamed("doc_id", "db").alias("i2"),
+                       F.col("dst") == F.col("i2.file_id"))
+                 .select(F.least("da", "db").alias("doc_a"),
+                         F.greatest("da", "db").alias("doc_b"))
+                 .distinct()
+                 .withColumn("_hit", F.lit(1)))
+    sh = s.select(_doc_id_from_path().alias("doc_id"),
+                  _char_shingles(F.col("content")).alias("g"))
+    a, b = sh.alias("a"), sh.alias("b")
+    # same length-ratio precondition as the banding's len buckets (and
+    # the DuckDB oracle): |small| / |big| >= tau is NECESSARY for
+    # Jaccard >= tau, so pairs outside it are not part of the truth
+    allp = a.join(b, (F.col("a.doc_id") < F.col("b.doc_id"))
+                  & (F.size("a.g") * 10 >= F.size("b.g") * 7)
+                  & (F.size("b.g") * 10 >= F.size("a.g") * 7))
+    inter = F.size(F.array_intersect("a.g", "b.g")).cast("double")
+    union = F.size(F.array_union("a.g", "b.g")).cast("double")
+    truth = (allp
+             .withColumn("jaccard", inter / union)
+             .filter(F.col("jaccard") >= 0.7)
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"),
+                     F.round("jaccard", 6).alias("jaccard")))
+    return (truth
+            .join(cand_docs, ["doc_a", "doc_b"], "left")
+            .select("doc_a", "doc_b", "jaccard",
+                    F.col("_hit").isNotNull().alias("in_candidates")))
 
 
 def q_near_dup_clusters(spark, sf):
@@ -555,6 +598,27 @@ def oracle_sql() -> dict[str, str]:
             FROM d a JOIN d b
               ON a.nc >= 64 AND a.nc < b.nc AND a.doc_id <> b.doc_id
              AND position(a.nt IN b.nt) > 0
+        """,
+        "lsh_candidate_pairs": """
+            WITH sh AS (
+              SELECT doc_id, list_distinct(list_transform(
+                       generate_series(1, greatest(length(nt) - 6, 1)),
+                       i -> substr(nt, i, 7))) AS grams
+              FROM (SELECT doc_id,
+                           trim(regexp_replace(text, '\\s+', ' ', 'g')) nt
+                    FROM documents))
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(CAST(len(list_intersect(a.grams, b.grams))
+                              AS DOUBLE)
+                         / len(list_distinct(list_concat(a.grams, b.grams))),
+                         6) AS jaccard,
+                   TRUE AS in_candidates
+            FROM sh a JOIN sh b
+              ON a.doc_id < b.doc_id
+             AND len(a.grams) * 10 >= len(b.grams) * 7
+             AND len(b.grams) * 10 >= len(a.grams) * 7
+            WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.7
         """,
         "near_jaccard_edges": """
             WITH sh AS (
