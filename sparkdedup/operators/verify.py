@@ -43,8 +43,8 @@ def _lane_agree(a: str, b: str) -> F.Column:
         F.lit(0), lambda acc, x: acc + x)
 
 
-def jaccard_edges(pairs: DataFrame, sigs: DataFrame,
-                  cfg: DedupConfig) -> DataFrame:
+def jaccard_edges(pairs: DataFrame, sigs: DataFrame, cfg: DedupConfig,
+                  pairs_materialized: bool = False) -> DataFrame:
     """MinHash-lane verification of candidate pairs; keeps pairs with
     ``dist = 1 - est_jaccard <= cfg.threshold``. Emits
     ``(src, dst, dist, kind='near', gen)``.
@@ -59,11 +59,24 @@ def jaccard_edges(pairs: DataFrame, sigs: DataFrame,
     verify gained (operators/containment.py), applied here per the
     round-4 verdict. The id list is a distinct over the narrow pairs;
     AQE sizes it at runtime and broadcasts the semi-join, so the wide
-    side never moves for ids that no pair references. The ``pairs``
-    subplan appears three times (two id projections + the join spine),
-    but its shuffles are identical subtrees that Spark's exchange reuse
-    (ReusedExchange / AQE stage reuse) materializes once — the band
-    expansion below the dedup exchange is not recomputed.
+    side never moves for ids that no pair references.
+
+    The ``pairs`` subplan appears three times (two id projections + the
+    join spine), so it is materialized with an eager ``localCheckpoint``
+    first: relying on exchange reuse (ReusedExchange / AQE stage reuse)
+    to dedupe the three subtrees does NOT hold in practice — the
+    projections diverge below the dedup exchange and AQE re-plans each
+    independently, so the whole banding pipeline executed up to 3x
+    (measured round 5 at sf0.1: verify stage 8.4s -> 4.3s with the
+    checkpoint, identical edges; the same pathology at any scale, since
+    banding cost grows with the corpus). The checkpointed rows are
+    narrow (src, dst, gen — ~24 B/pair) and bounded by band_pair_cap
+    per band, so the materialization is tiny relative to the signature
+    table at every scale; blocks are freed by the ContextCleaner when
+    the returned DataFrame is garbage-collected. A caller that already
+    materialized ``pairs`` (the streaming path, which reuses them for
+    its own history prune) passes ``pairs_materialized=True`` to skip
+    the redundant copy.
 
     A low-bit digest PRE-filter before this join was built and measured
     in round 4 and rejected: after the Hamming cut ~41% of surviving
@@ -71,6 +84,8 @@ def jaccard_edges(pairs: DataFrame, sigs: DataFrame,
     digest join + survivor re-join cost ~3x the single exact join it
     was meant to shrink (600k files, same-session A/B).
     """
+    if not pairs_materialized:
+        pairs = pairs.localCheckpoint(eager=True)
     ids = (pairs.select(F.col("src").alias("file_id"))
            .unionByName(pairs.select(F.col("dst").alias("file_id")))
            .distinct())

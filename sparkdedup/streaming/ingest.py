@@ -335,8 +335,12 @@ def _near_dup_edges(spark: SparkSession, sigs: DataFrame, cfg: DedupConfig,
     # re-featurize history" claim (round-4 verdict "What's wrong #3").
     # jaccard_edges prunes again internally (idempotent); this outer
     # prune is what keeps the full-history rows out of the dedup
-    # exchange. The pair subplan's shuffles are reused, not recomputed
-    # (ReusedExchange — same argument as jaccard_edges' docstring).
+    # exchange. ``pairs`` is consumed by the id projections here AND by
+    # jaccard_edges' spine, so it is materialized once up front (eager
+    # localCheckpoint, narrow rows — exchange reuse does NOT dedupe the
+    # diverging subtrees in practice; see jaccard_edges' docstring) and
+    # jaccard_edges is told not to checkpoint again.
+    pairs = pairs.localCheckpoint(eager=True)
     mh_batch = sigs.select("file_id", "minhash")
     sig_hist = _history(spark, sig_dir, batch_id)
     if sig_hist is not None:
@@ -348,7 +352,7 @@ def _near_dup_edges(spark: SparkSession, sigs: DataFrame, cfg: DedupConfig,
         mh = mh_batch.unionByName(mh_hist).dropDuplicates(["file_id"])
     else:
         mh = mh_batch
-    return jaccard_edges(pairs, mh, cfg).drop("gen")
+    return jaccard_edges(pairs, mh, cfg, pairs_materialized=True).drop("gen")
 
 
 def _merge_clusters(spark: SparkSession, epoch_edges: DataFrame,
