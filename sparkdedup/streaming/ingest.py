@@ -433,12 +433,22 @@ def current_clusters(spark: SparkSession, out_dir: str) -> DataFrame:
 def _merge_batch(batch: DataFrame, batch_id: int, cfg: DedupConfig,
                  sig_dir: str, edges_dir: str, invalid_dir: str,
                  bands_dir: str | None = None,
-                 clusters_dir: str | None = None) -> None:
+                 clusters_dir: str | None = None,
+                 compact_every: int = 0) -> None:
     """foreachBatch body: featurize once, emit exact (and optionally
     near) dup edges vs (pruned, strictly-earlier) history + within the
     batch, merge the cluster delta, append signatures/bands. Every
     write targets ``ingest_batch=<epoch>`` with overwrite — replays of
-    the same epoch are idempotent."""
+    the same epoch are idempotent.
+
+    With ``compact_every=k``, every k-th epoch ends by folding the log
+    tables into their latest-wins snapshots (``compact_logs``). Running
+    it here is safe because foreachBatch epochs are serial and the
+    compactor never folds the newest epoch: a replay of THIS epoch
+    after a crash (the only epoch foreachBatch can re-present) still
+    reads strictly-earlier history whether it comes from the snapshot
+    or the tail, and a repeat compaction call is a no-op
+    (``upto <= prev_upto``)."""
     spark = batch.sparkSession
     epoch = f"ingest_batch={batch_id}"
     valid, invalid = split_invalid(batch, cfg)
@@ -515,6 +525,10 @@ def _merge_batch(batch: DataFrame, batch_id: int, cfg: DedupConfig,
              .write.mode("overwrite").parquet(f"{bands_dir}/{epoch}"))
         (sigs.write.mode("overwrite").partitionBy("sha_prefix")
          .parquet(f"{sig_dir}/{epoch}"))
+        if compact_every > 0 and batch_id > 0 \
+                and batch_id % compact_every == 0:
+            # sig_dir is always "<out_dir>/signatures" (incremental_dedup)
+            compact_logs(spark, sig_dir.rsplit("/", 1)[0])
     finally:
         sigs.unpersist()
 
@@ -523,7 +537,8 @@ def incremental_dedup(spark: SparkSession, cfg: DedupConfig,
                       source_path: str, out_dir: str,
                       trigger_available_now: bool = True,
                       max_files_per_trigger: int | None = None,
-                      near_dup: bool = False):
+                      near_dup: bool = False,
+                      compact_every: int = 0):
     """Run the streaming ingest+dedup job.
 
     Returns the started ``StreamingQuery``. With
@@ -532,6 +547,10 @@ def incremental_dedup(spark: SparkSession, cfg: DedupConfig,
     and backfills; without it the query runs continuously.
     ``near_dup=True`` additionally maintains the LSH band-key table and
     emits near-dup edges across batches without re-featurizing history.
+    ``compact_every=k`` folds the log tables into latest-wins snapshots
+    after every k-th epoch (``compact_logs``), bounding history reads
+    by |snapshot| + |tail| for unbounded ingests; 0 (default) leaves
+    compaction to an external maintenance schedule.
     Output layout under ``out_dir`` (each sink partitioned by
     ``ingest_batch`` for idempotent epoch overwrite):
     ``signatures/`` (sub-partitioned by sha_prefix), ``edges/`` (exact
@@ -551,7 +570,7 @@ def incremental_dedup(spark: SparkSession, cfg: DedupConfig,
     writer = (files.writeStream
               .foreachBatch(lambda b, eid: _merge_batch(
                   b, eid, cfg, sig_dir, edges_dir, invalid_dir, bands_dir,
-                  clusters_dir))
+                  clusters_dir, compact_every))
               .option("checkpointLocation", f"{base}/_checkpoint"))
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)

@@ -415,3 +415,46 @@ def test_compaction_bounds_history_and_preserves_semantics(spark, tmp_path):
     got2 = {r["file_id"]: r["cluster_id"]
             for r in current_clusters(spark, str(out)).collect()}
     assert got2 == got
+
+
+def test_auto_compaction_every_k_epochs(spark, tmp_path):
+    """``incremental_dedup(compact_every=2)`` folds the logs inside the
+    stream itself: after epochs 0..3 the epoch-2 compaction has run
+    (snapshot upto=1, epoch dirs 0-1 gone), later epochs keep accruing
+    as tail, and ``current_clusters`` still equals a batch CC."""
+    import os
+    from sparkdedup.operators.components import connected_components
+    from sparkdedup.streaming.ingest import current_clusters
+    cfg = DedupConfig(similarity="similar")
+    src, out = tmp_path / "incoming", tmp_path / "out"
+    base = ("def compute(a, b):\n"
+            "    return a * b + a - b  # some shared logic here\n") * 4
+    epochs = [
+        [("r0", "x.py", "c0", "python", base)],
+        [("r1", "y.py", "c1", "python", "unrelated words " * 20)],
+        [("r2", "x2.py", "c2", "python",
+          base.replace("shared logic", "shared logik"))],
+        [("r3", "x_copy.py", "c3", "python", base)],
+    ]
+    for i, rows in enumerate(epochs):
+        _write_batch(spark.createDataFrame(rows, INPUT_SCHEMA),
+                     str(src / f"b{i}"))
+        _await(incremental_dedup(spark, cfg, str(src / "*"), str(out),
+                                 near_dup=True, compact_every=2))
+    for t in ("clusters", "signatures", "bands"):
+        left = sorted(p for p in os.listdir(str(out / t))
+                      if p.startswith("ingest_batch="))
+        assert left == ["ingest_batch=2", "ingest_batch=3"], (t, left)
+        assert os.path.isdir(str(out / f"{t}_snapshot" / "upto=1"))
+    snap = spark.read.parquet(str(out / "signatures_snapshot/upto=1"))
+    sigs = spark.read.parquet(str(out / "signatures"))
+    ids = {r["path"]: r["file_id"] for r in
+           snap.select("path", "file_id").unionByName(
+               sigs.select("path", "file_id")).distinct().collect()}
+    got = {r["file_id"]: r["cluster_id"]
+           for r in current_clusters(spark, str(out)).collect()}
+    assert got[ids["x.py"]] == got[ids["x2.py"]] == got[ids["x_copy.py"]]
+    assert ids["y.py"] not in got
+    batch_cc = {r["file_id"]: r["cluster_id"] for r in connected_components(
+        spark.read.parquet(str(out / "edges"))).collect()}
+    assert got == batch_cc
