@@ -42,6 +42,13 @@ FEATURE_SCHEMA = T.StructType([
     T.StructField("kind", T.StringType(), False),
     T.StructField("feature", T.ArrayType(T.FloatType()), True),
     T.StructField("error", T.StringType(), True),
+    # provenance checksum of the payload the DECODER actually received,
+    # computed inside the task (null on error rows). At 100 TB this is
+    # the integrity/dedup key for feature rows; at correctness scale it
+    # lets an external oracle prove byte-exact payload transit through
+    # the binary column + Arrow batches (sha256(payload) is computable
+    # on the source side by any SQL engine).
+    T.StructField("payload_sha", T.StringType(), True),
 ])
 
 
@@ -94,7 +101,8 @@ def media_features(media: DataFrame, dim: int = 32,
                     "real media decoding requires Pillow; not available "
                     "in this environment") from exc
         for b in batches:
-            rows = {"media_id": [], "kind": [], "feature": [], "error": []}
+            rows = {"media_id": [], "kind": [], "feature": [], "error": [],
+                    "payload_sha": []}
             for mid, kind, payload in zip(b["media_id"], b["kind"],
                                           b["payload"]):
                 rows["media_id"].append(int(mid))
@@ -102,6 +110,7 @@ def media_features(media: DataFrame, dim: int = 32,
                 if payload is None or len(payload) == 0:
                     rows["feature"].append(None)
                     rows["error"].append("Invalid or corrupted file")
+                    rows["payload_sha"].append(None)
                     continue
                 try:
                     if fake:
@@ -114,9 +123,12 @@ def media_features(media: DataFrame, dim: int = 32,
                     # undecodable payload -> side output, job survives
                     rows["feature"].append(None)
                     rows["error"].append("Invalid or corrupted file")
+                    rows["payload_sha"].append(None)
                     continue
                 rows["feature"].append(feat)
                 rows["error"].append(None)
+                rows["payload_sha"].append(
+                    hashlib.sha256(bytes(payload)).hexdigest())
             yield pd.DataFrame(rows)
 
     return (media.select("media_id", "kind", "payload")

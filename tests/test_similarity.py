@@ -139,6 +139,12 @@ def test_media_features_plumbing(spark):
     by_id = {r["media_id"]: r for r in feats}
     assert by_id[1]["error"] is None and len(by_id[1]["feature"]) == 8
     assert by_id[2]["error"] == "Invalid or corrupted file"
+    # payload_sha is computed by the DECODER task from the bytes it
+    # received — proves byte-exact transit through the binary column
+    import hashlib
+    assert by_id[1]["payload_sha"] == \
+        hashlib.sha256(b"text one").hexdigest()
+    assert by_id[2]["payload_sha"] is None
     # deterministic fake decode
     feats2 = media_features(documents_as_media(docs), dim=8).collect()
     assert {r["media_id"]: r["feature"] for r in feats2}[1] == \

@@ -19,6 +19,7 @@ Writes BENCH/kernel_scaling.json and prints one JSON line.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from concurrent.futures import ProcessPoolExecutor
@@ -66,10 +67,20 @@ def _work(texts: list[str]) -> int:
 
 def one_leg(texts: list[str], workers: int) -> dict:
     chunks = [texts[i:i + CHUNK] for i in range(0, len(texts), CHUNK)]
-    t0 = time.monotonic()
-    with ProcessPoolExecutor(max_workers=workers) as ex:
-        total = sum(ex.map(_work, chunks))
-    wall = time.monotonic() - t0
+    # confine the pool (workers fork under this mask) to exactly the
+    # leg's core budget — same truthful N-core-machine model as
+    # tools/bench_scaling.py round 5; unconfined, N floating workers
+    # sample the whole socket's cache and the parent feeds them from a
+    # 33rd core
+    full = os.sched_getaffinity(0)
+    os.sched_setaffinity(0, set(range(workers)))
+    try:
+        t0 = time.monotonic()
+        with ProcessPoolExecutor(max_workers=workers) as ex:
+            total = sum(ex.map(_work, chunks))
+        wall = time.monotonic() - t0
+    finally:
+        os.sched_setaffinity(0, full)
     return {"workers": workers, "docs": total,
             "wall_sec": round(wall, 2),
             "docs_per_sec": round(total / wall, 1)}

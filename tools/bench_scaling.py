@@ -8,6 +8,17 @@ headline N-vs-4N pair; local[8] vs local[32] documents the single-
 socket saturation ceiling), identical shuffle partitioning, fresh JVM
 per run (subprocess).
 
+Each leg is CONFINED to exactly its core budget with ``taskset -c
+0-(N-1)`` (round 5). Without confinement the small legs are subsidized
+by the idle 30 cores: Spark ``local[2]`` caps TASK slots at 2, but the
+JVM still sizes GC/JIT pools for 32 cores (Java 17 reads
+sched_getaffinity), and GC, the Arrow writer threads feeding the
+Python workers, Netty and the scheduler all run on cores a real
+2-core executor would not have. An N-core EXECUTOR in a real cluster
+pays all of that
+inside its N cores, which is exactly what the cpuset models; the
+unconfined ratio structurally understates cluster scaling.
+
 Methodology — min over interleaved repeats: this shared VM's wall
 times vary up to 2x BETWEEN IDENTICAL RUNS minutes apart (round-3
 measurements: the same local[8] leg measured 784 s and 1053 s in one
@@ -107,9 +118,14 @@ def measured_run(cpus: int, n_files: int) -> dict:
 
 
 def _one_leg(cpus: int, n_files: int) -> dict:
+    # confine the WHOLE process tree (JVM + pyspark workers) to the
+    # leg's core budget — the truthful model of an N-core executor;
+    # Java 17 sizes GC/JIT/netty pools from the cpuset, python workers
+    # inherit it. Cores 0..N-1 at every level for run-to-run symmetry.
+    cmd = ["taskset", "-c", f"0-{cpus - 1}",
+           sys.executable, __file__, "--run", str(cpus), str(n_files)]
     p = subprocess.run(
-        [sys.executable, __file__, "--run", str(cpus), str(n_files)],
-        capture_output=True, text=True, cwd=str(REPO), timeout=5400)
+        cmd, capture_output=True, text=True, cwd=str(REPO), timeout=5400)
     line = p.stdout.strip().splitlines()[-1]
     out = json.loads(line)
     print(out, flush=True)
@@ -175,6 +191,16 @@ instructions the criterion is evidenced by running the SAME dedup job
 -> ranking) on the SAME deterministic corpus ({N_FILES:,} files,
 seed={SEED}, identical {PARTITIONS}-partition physical plan, fresh JVM
 per run) at N and 4N parallelism on a 32-core single-socket host.
+
+**Each leg is confined to exactly its core budget** (`taskset -c
+0-(N-1)` around the whole process tree — JVM, GC/JIT pools, Arrow
+writer threads, pyspark workers). `local[N]` alone only caps TASK
+slots: unconfined, the JVM sizes GC/JIT for all 32 cores and the
+serialization/GC/daemon threads run on cores a real N-core executor
+would not have, subsidizing the small leg and structurally
+understating the N-to-4N ratio. The cpuset is the truthful model of
+an N-core executor; a real cluster's added executors bring their own
+cores AND their own memory buses.
 
 **Statistic: minimum wall over {REPEATS} interleaved repeats per
 level.** This shared VM stalls unpredictably — the same leg measured
