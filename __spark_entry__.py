@@ -261,6 +261,58 @@ def q_minhash_estimate_accuracy(spark, sf):
                     (F.abs(est - jac) <= F.lit(_ACC_EPS)).alias("est_ok"))
 
 
+_ROT_FROM = "abcdefghijklmnopqrstuvwxyz"
+_ROT_TO = "nopqrstuvwxyzabcdefghijklm"
+#: SimHash Hamming bounds for the three planted kinds, measured over
+#: the deterministic sf0.001/0.01/0.1 corpora with the real kernel:
+#: suffix-extended copies max 15, letter-rotated texts min 21 — the
+#: bounds sit in the empty [16, 20] gap with 2 bits of margin each
+#: way. An exact copy is ham == 0 by construction (identical shingle
+#: multiset), checked strictly.
+_SIM_HAM_SUFFIX_MAX = 17
+_SIM_HAM_UNREL_MIN = 19
+
+
+def q_simhash_hamming(spark, sf):
+    """Oracles the SimHash KERNEL (the bit-vote over shingle hashes
+    that drives the pipeline's Hamming pre-verify cut,
+    ``operators/lsh.py`` fused expansion): each ASCII doc is paired
+    with (a) an exact copy — Hamming distance must be exactly 0, (b) a
+    suffix-extended copy — a few shingles change, so ham <= 17, and
+    (c) a letter-rotated (caesar) variant — disjoint shingle set, so
+    ham >= 19 (measured gap: 15 vs 21 on every sf). DuckDB predicts
+    ``ham_ok = TRUE`` for the identical (doc, kind) row set, so a
+    broken bit-vote (constant simhash -> unrelated check fails; noisy
+    simhash -> exact/suffix checks fail; wrong shingle hash -> both)
+    flips values, not just counts. Reference analogue: difPy's
+    rotation-invariant MSE verify (dif.py:320-353) — here the cheap
+    bit-sketch distance that gates the expensive verify."""
+    cfg = DedupConfig(similarity="similar")
+    base = (_docs(spark, sf)
+            .filter((F.col("doc_id") < 200)
+                    & (F.col("n_chars") >= 64)
+                    & ~F.col("text").rlike("[^\\x00-\\x7F]"))
+            .select("doc_id", F.col("text").alias("content")))
+    variants = None
+    for kind, expr in (
+            ("exact", F.col("content")),
+            ("suffix", F.concat("content", F.lit(_ACC_SUFFIX))),
+            ("unrelated", F.translate("content", _ROT_FROM, _ROT_TO))):
+        v = base.select("doc_id", F.lit(kind).alias("kind"),
+                        expr.alias("content"))
+        variants = v if variants is None else variants.unionByName(v)
+    orig = (with_signature(base, cfg)
+            .select("doc_id", F.col("simhash").alias("sim_a")))
+    var = (with_signature(variants, cfg)
+           .select("doc_id", "kind", F.col("simhash").alias("sim_b")))
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    ok = (F.when(F.col("kind") == "exact", ham == 0)
+           .when(F.col("kind") == "suffix", ham <= _SIM_HAM_SUFFIX_MAX)
+           .otherwise(ham >= _SIM_HAM_UNREL_MIN))
+    return (var.join(orig, "doc_id")
+            .select("doc_id", "kind", ok.alias("ham_ok")))
+
+
 def q_lsh_candidate_pairs(spark, sf):
     """Candidate-coverage oracle (round-4 verdict ask #7, the same
     graduation move as ``streaming_signatures``): compute the TRUTH
@@ -558,6 +610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srp_top1_planted": q_srp_top1_planted,
         "minhash_signatures": q_minhash_signatures,
         "minhash_estimate_accuracy": q_minhash_estimate_accuracy,
+        "simhash_hamming": q_simhash_hamming,
         "media_features": q_media_features,
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
         "streaming_signatures": q_streaming_signatures,
@@ -884,6 +937,18 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs p
             JOIN g x ON x.doc_id = p.da
             JOIN g y ON y.doc_id = p.db
+        """,
+        # the Spark side computes real kernel simhashes and emits the
+        # per-kind Hamming verdict; the oracle predicts TRUE for the
+        # identical (doc, kind) row set (bounds documented at
+        # _SIM_HAM_SUFFIX_MAX)
+        "simhash_hamming": """
+            SELECT doc_id, k.kind, TRUE AS ham_ok
+            FROM documents
+            CROSS JOIN (VALUES ('exact'), ('suffix'), ('unrelated'))
+                 AS k(kind)
+            WHERE doc_id < 200 AND n_chars >= 64
+              AND NOT regexp_matches(text, '[^\\x00-\\x7F]')
         """,
         # valid rows: error null, payload_sha = sha256 of the utf-8
         # payload, unit-norm feature; planted empty-payload rows

@@ -69,6 +69,24 @@ def test_identical_content_identical_everything():
     assert np.array_equal(mha, mhb) and sa == sb and np.array_equal(ba, bb)
 
 
+def test_simhash_hamming_separates_planted_kinds():
+    """Pins the bounds the simhash_hamming driver oracle relies on:
+    exact copy -> ham 0; suffix-extended copy -> small ham; letter-
+    rotated text (disjoint shingles) -> ham near 32 of 64 bits."""
+    rot = str.maketrans("abcdefghijklmnopqrstuvwxyz",
+                        "nopqrstuvwxyzabcdefghijklm")
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "sorts a merge join over the filtered customer table ") * 3
+    _, s0, _, _ = signature_of(base, **CFG)
+    _, s1, _, _ = signature_of(base, **CFG)
+    _, s2, _, _ = signature_of(base + " qq ww ee rr tt yy uu", **CFG)
+    _, s3, _, _ = signature_of(base.translate(rot), **CFG)
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")
+    assert ham(s0, s1) == 0
+    assert ham(s0, s2) <= 17
+    assert ham(s0, s3) >= 19
+
+
 def test_anchor_sketch_is_subset_for_contained_text():
     small = "the quick brown fox jumps over the lazy dog " * 3
     big = "prefix padding text here " + small + " suffix padding text"
