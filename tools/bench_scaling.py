@@ -173,90 +173,11 @@ def main() -> None:
     bench_dir.mkdir(exist_ok=True)
     (bench_dir / "scaling.json").write_text(json.dumps(payload, indent=2))
 
-    rows = []
-    for cpus in sorted(best):
-        d = best[cpus]
-        walls = ", ".join(str(r["wall_sec"]) for r in runs[cpus])
-        rows.append(
-            f"| local[{cpus}] | {d['featurize_sec']} | {d['wall_sec']} "
-            f"| {walls} | {d['files_per_sec']} | {d['clustered_files']} |")
-    p28 = next(r for r in pair_reports if r["pair"] == [2, 8])
-    p832 = next(r for r in pair_reports if r["pair"] == [8, 32])
-    md = f"""# BENCH — scaling evidence (N vs 4N parallelism)
-
-North rule: throughput scaling efficiency >= 0.8 from N to 4N
-executors. No real cluster exists in this sandbox; per driver
-instructions the criterion is evidenced by running the SAME dedup job
-(signatures -> exact + LSH + containment edges -> connected components
--> ranking) on the SAME deterministic corpus ({N_FILES:,} files,
-seed={SEED}, identical {PARTITIONS}-partition physical plan, fresh JVM
-per run) at N and 4N parallelism on a 32-core single-socket host.
-
-**Each leg is confined to exactly its core budget** (`taskset -c
-0-(N-1)` around the whole process tree — JVM, GC/JIT pools, Arrow
-writer threads, pyspark workers). `local[N]` alone only caps TASK
-slots: unconfined, the JVM sizes GC/JIT for all 32 cores and the
-serialization/GC/daemon threads run on cores a real N-core executor
-would not have, subsidizing the small leg and structurally
-understating the N-to-4N ratio. The cpuset is the truthful model of
-an N-core executor; a real cluster's added executors bring their own
-cores AND their own memory buses.
-
-**Statistic: minimum wall over {REPEATS} interleaved repeats per
-level.** This shared VM stalls unpredictably — the same leg measured
-784 s and 1053 s within an hour, and a fixed 1M-row query measured
-10-112 s across four back-to-back repeats (round-3 session). Levels
-run interleaved (8, 2, 32, ...) so each samples every condition
-window; the minimum is the best estimate of the uncontended machine.
-Every individual repeat is listed below and in BENCH/scaling.json —
-nothing is dropped.
-
-| parallelism | featurize (s) | full job best (s) | all repeats (s) | files/sec | clustered |
-|---|---|---|---|---|---|
-""" + "\n".join(rows) + f"""
-
-## Pair 1 — local[2] vs local[8] (headline: both below memory-bus saturation)
-
-**Full job: speedup {p28['full_job']['speedup']:.2f}x, scaling
-efficiency {p28['full_job']['scaling_efficiency']:.3f}; featurize
-stage: {p28['featurize_stage']['speedup']:.2f}x, efficiency
-{p28['featurize_stage']['scaling_efficiency']:.3f}** (target >= 0.8).
-This pair is the honest sandbox analogue of growing a CLUSTER from N
-to 4N executors: every added executor node brings its own memory
-bus, so per-core memory bandwidth stays constant — which holds on
-this host only while total threads stay well below the socket's
-bandwidth saturation point.
-
-## Pair 2 — local[8] vs local[32] (documents the saturation ceiling)
-
-**Full job: speedup {p832['full_job']['speedup']:.2f}x, efficiency
-{p832['full_job']['scaling_efficiency']:.3f}; featurize stage:
-{p832['featurize_stage']['speedup']:.2f}x, efficiency
-{p832['featurize_stage']['scaling_efficiency']:.3f}.** The shortfall
-is the single socket, not the plan: the batched MinHash kernel is
-fast enough that 32 threads saturate one socket's DRAM bandwidth and
-SMT sharing (a pure-Python ProcessPool microbenchmark of the same
-numpy kernel — no Spark — scales 0.80 from 2 to 8 processes and goes
-FLAT from 8 to 32 on this host). On a real 4N-executor cluster the
-added machines bring bandwidth in proportion, which is exactly what
-pair 1 models. The physical plans contain no serial collection
-points — the one driver crossing is connected components' per-round
-aggregated convergence fingerprint.
-
-Outputs are identical at every level and repeat (cluster and edge
-counts asserted equal — parallelism never changes results).
-
-Reference point: difPy's README worked example processes 3,232 files
-in 2.15 s build + 5.14 s search (~443 files/s end-to-end, 5
-processes, O(n^2) pairs — `/root/reference/README.md:118-136`); it
-cannot scale past one machine. This engine sustains
-{p832['big']['files_per_sec']:,} files/s end-to-end
-({p832['big']['featurize_files_per_sec']:,} files/s through
-featurize) on 32 local cores with an O(n x bands) candidate stage.
-
-Reproduce: `python tools/bench_scaling.py`.
-"""
-    (bench_dir / "BASELINE.md").write_text(md)
+    # markdown rendering is delegated so re-runs cannot clobber the
+    # kernel-control / task-second sections (tools/render_baseline.py)
+    sys.path.insert(0, str(REPO / "tools"))
+    import render_baseline
+    render_baseline.main()
     print(json.dumps({"pairs": pair_reports, "target": 0.8}))
 
 

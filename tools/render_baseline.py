@@ -35,11 +35,17 @@ attributing the residual to a named, measured cause. Both are done.
 materialization of the thrice-referenced pair set): walls dropped
 2.1-2.9x vs the round-4 sample at every level with byte-identical
 outputs (local[2] 2032 -> 671, local[8] 947 -> 326, local[32] 574 ->
-350 in the round-5 sample) — the optimization made BOTH levels much
-faster and the (2,8) ratio did not move, which is itself evidence the
-ratio is host-limited, not plan-limited. Event-log profile, 600k
-files, same code, same 128-partition plan (`python
-tools/profile_stages.py 600000 {2,8}`):
+350 in the first round-5 sample) — the optimization made BOTH levels
+much faster and the (2,8) ratio did not move, which is itself
+evidence the ratio is host-limited, not plan-limited. Two further
+plan changes landed the same round with byte-identical outputs:
+edge-planning's two independent eager jobs (LSH pairs, containment
+candidates) now submit from concurrent threads so each fills the
+other's stage tails (best local[8] plan_edges 127.8 s sequential ->
+95.2 s overlapped), and connected components partitions purely by
+edge count instead of flooring at core count (local[32] CC 16.7 s ->
+5.3 s on the same graph). Event-log profile, 600k files, same
+128-partition plan (`python tools/profile_stages.py 600000 {2,8}`):
 
 | metric | local[2] | local[8] | ratio |
 |---|---|---|---|
@@ -99,10 +105,14 @@ core-confined via sched_setaffinity, interleaved, min over repeats
 
 Even a perfectly parallel, cache-blocked numpy loop with zero
 coordination tops out well below 1.0 on this host — the 0.8 target
-sits AT the machine's measured ceiling for memory-touching work, and
-the Spark job's heavier allocation/hash-join/shuffle mix pays
-proportionally more. The featurize STAGE inside Spark lands within a
-few percent of this no-Spark control at the same pair.
+sits AT the machine's measured ceiling for memory-touching work
+(0.78 at 2->8), and the Spark job's heavier
+allocation/hash-join/shuffle mix pays proportionally more. The
+featurize STAGE inside Spark meets or beats this no-Spark control at
+the 2->8 pair (the JVM scan/Arrow feed overlaps with the Python
+kernel, something the bare pool cannot do) and tracks its collapse at
+8->32 — the stage the 100 TB cost model is dominated by scales at the
+host's own ceiling, not the engine's.
 """
 
 
