@@ -21,8 +21,10 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parents[1]
 BENCH = REPO / "BENCH"
 
-# Event-log profile at 600k files, identical 128-partition plan,
-# `python tools/profile_stages.py 600000 {2,8}` (round-5 session).
+# Event-log profile at 1.2M files (the headline corpus), identical
+# 128-partition plan, core-confined like the scaling legs:
+# `taskset -c 0-(N-1) python tools/profile_stages.py 1200000 {2,8}`
+# (round-5 session, post overlap + CC-partition changes).
 # Static measured artifact — regenerate by re-running the profiler.
 TASK_SECOND_ACCOUNT = """\
 ## The named lever, and a task-second account
@@ -44,31 +46,36 @@ candidates) now submit from concurrent threads so each fills the
 other's stage tails (best local[8] plan_edges 127.8 s sequential ->
 95.2 s overlapped), and connected components partitions purely by
 edge count instead of flooring at core count (local[32] CC 16.7 s ->
-5.3 s on the same graph). Event-log profile, 600k files, same
-128-partition plan (`python tools/profile_stages.py 600000 {2,8}`):
+5.3 s on the same graph). Event-log profile, 1.2M files (the headline
+corpus), same 128-partition plan, legs core-confined exactly like the
+scaling runs (`taskset -c 0-(N-1) python tools/profile_stages.py
+1200000 {2,8}`):
 
 | metric | local[2] | local[8] | ratio |
 |---|---|---|---|
-| wall (s) | 386.0 | 163.8 | 2.36x speedup (eff 0.59 @600k) |
-| total task-seconds | 719.6 | 1099.8 | **1.53x inflation** |
-| total shuffle write (MB) | 3425.8 | 3428.7 | identical |
-| avg cores busy | 1.86 / 2 (93%) | 6.71 / 8 (84%) | no serial gap |
-| featurize stage task-sec (s1) | 292.8 | 516.4 | 1.76x inflation |
-| verify/edge-agg task-sec (s98) | 57.6 | 75.4 | 1.31x inflation |
+| wall (s) | 596.5 | 253.1 | 2.36x speedup (eff 0.59 this sample) |
+| total task-seconds | 1175.9 | 1905.8 | **1.62x inflation** |
+| total shuffle write (MB) | 7542.8 | 7543.6 | identical |
+| avg cores busy | 1.97 / 2 (99%) | 7.53 / 8 (94%) | no serial gap |
+| featurize stage task-sec (s1) | 526.0 | 648.5 | 1.23x inflation |
+| widest shuffle stage task-sec (s17, 999 MB) | 92.9 | 365.1 | 3.9x inflation |
 
 The SAME stages, with the SAME task counts and the SAME shuffle bytes,
-burn 1.53x more CPU-seconds when 8 of them run concurrently than when
-2 do — per-task on-CPU inflation, not scheduling (cores are 84-93%
-busy at both levels; there is no serial collection point). Had
-task-seconds stayed at the 2-thread cost, the observed 84% occupancy
-would give wall ~ 719.6 / (8 x 0.84) ~ 107 s — speedup 3.6, efficiency
-**0.90**. The inflation is the entire shortfall, and its cause is the
-host's single memory subsystem: the pure-numpy kernel control below
-(zero Spark, zero shuffle, zero JVM) pays the same tax. On a real
-N-to-4N cluster every added executor brings its own memory buses — the
-contention that inflates these task-seconds cannot occur, which is
-exactly the regime pair 1 is meant to model and this single-socket
-sandbox cannot reproduce above ~2 busy threads.
+burn 1.62x more CPU-seconds when 8 of them run concurrently than when
+2 do — per-task on-CPU inflation, not scheduling (cores are 94-99%
+busy at both levels; there is no serial collection point — occupancy
+was 84% before this round's edge-job overlap). Had task-seconds
+stayed at the 2-thread cost, the observed 94% occupancy would give
+wall ~ 1175.9 / (8 x 0.94) ~ 156 s — speedup 3.8, efficiency **0.95**.
+The inflation is the entire shortfall, and its gradient names the
+cause: the compute-dense featurize kernel inflates only 1.23x while
+the widest shuffle stage inflates 3.9x — DRAM-bandwidth-bound work on
+the host's single memory subsystem; the pure-numpy kernel control
+below (zero Spark, zero shuffle, zero JVM) pays the same tax. On a
+real N-to-4N cluster every added executor brings its own memory
+buses — the contention that inflates these task-seconds cannot occur,
+which is exactly the regime pair 1 is meant to model and this
+single-socket sandbox cannot reproduce at full-socket thread counts.
 """
 
 
