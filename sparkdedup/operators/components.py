@@ -22,8 +22,13 @@ deterministic across partitionings and cluster sizes.
 
 from __future__ import annotations
 
+import os
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _large_star(edges: DataFrame, n_parts: int) -> DataFrame:
@@ -70,14 +75,80 @@ def _fingerprint(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
-def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+#: Edge-count ceiling for the single-pass driver solve (env-overridable;
+#: 0 disables it). 4M (u, v) int64 pairs are 64 MB of Arrow columns — the
+#: same driver budget the reps anti-join broadcast is gated on
+#: (plans/pipeline.py, spark.driver.maxResultSize 4g). Above the cap the
+#: distributed alternating-star loop runs unchanged.
+CC_DRIVER_MAX_EDGES = int(
+    os.environ.get("SPARKDEDUP_CC_DRIVER_MAX_EDGES", 4_000_000))
+
+_CC_SCHEMA = T.StructType([
+    T.StructField("file_id", T.LongType(), False),
+    T.StructField("cluster_id", T.LongType(), False),
+])
+
+
+def _driver_cc(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized numpy connected components (min-hooking + pointer
+    jumping, O(log n) passes): exactly the distributed result —
+    ``cluster_id`` is the component's min node id — for edge sets small
+    enough to ride one Arrow collect."""
+    u = pdf["u"].to_numpy(np.int64)
+    v = pdf["v"].to_numpy(np.int64)
+    ids, idx = np.unique(np.concatenate([u, v]), return_inverse=True)
+    eu, ev = idx[: u.size], idx[u.size:]
+    # parent[i] <= i invariant: hooking writes only smaller indices, so
+    # each component's min-index node stays its own root and the final
+    # label is exactly the component minimum
+    parent = np.arange(ids.size, dtype=np.int64)
+    while True:
+        pu, pv = parent[eu], parent[ev]
+        hi = np.maximum(pu, pv)
+        lo = np.minimum(pu, pv)
+        live = hi != lo
+        if not live.any():
+            break
+        np.minimum.at(parent, hi[live], lo[live])
+        while True:                      # pointer jumping to the roots
+            pp = parent[parent]
+            if np.array_equal(pp, parent):
+                break
+            parent = pp
+    return pd.DataFrame({"file_id": ids, "cluster_id": ids[parent]})
+
+
+def connected_components(edges: DataFrame, max_iter: int = 50,
+                         driver_max_edges: int | None = None) -> DataFrame:
     """``edges(src, dst)`` -> ``clusters(file_id, cluster_id)``.
 
     Only matched nodes appear (difPy singletons never enter ``result``,
     dif.py:533-543). Driver crosses once per round for the convergence
     fingerprint — an aggregated count, not data.
+
+    Small graphs short-circuit to a single driver solve: the edge lists
+    the dedup pipeline produces are orders of magnitude smaller than the
+    corpus (stars + LSH survivors), and each distributed round costs ~4
+    shuffle stages plus a fingerprint round-trip, so a few-hundred-edge
+    graph burned ~2 s of pure scheduling at local[32] (measured round
+    6, sf0.1: 275 edges, 2.1-2.5 s). The guarded ``limit(cap+1)``
+    collect is the same move as a broadcast join — bounded bytes to the
+    driver, decided at runtime — and identical output by construction
+    (both algorithms label every matched node with its component's min
+    id). Graphs above the cap never collect (the probe reads cap+1 rows
+    at most) and take the alternating-star path unchanged.
     """
     spark = edges.sparkSession
+    cap = CC_DRIVER_MAX_EDGES if driver_max_edges is None else driver_max_edges
+    if cap > 0:
+        probe = (edges.select(F.col("src").alias("u"),
+                              F.col("dst").alias("v"))
+                 .filter(F.col("u") != F.col("v"))
+                 .limit(cap + 1).toPandas())
+        if len(probe) <= cap:
+            if not len(probe):
+                return spark.createDataFrame([], _CC_SCHEMA)
+            return spark.createDataFrame(_driver_cc(probe), _CC_SCHEMA)
     # LAZY localCheckpoint: the fingerprint aggregate is the action that
     # materializes each round's checkpoint — one driver round-trip per
     # round instead of two (eager checkpoint + separate fingerprint).

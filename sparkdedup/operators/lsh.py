@@ -92,16 +92,22 @@ def candidate_pairs(sigs: DataFrame, cfg: DedupConfig) -> DataFrame:
     keys = _band_keys(cfg)
     grouped = (explode_bands(sigs, cfg)
                .groupBy(*keys)
-               .agg(F.sort_array(
-                   F.collect_list(F.struct("file_id", "simhash")))
-                   .alias("_ms"))
+               .agg(F.collect_list(F.struct("file_id", "simhash"))
+                    .alias("_ms"))
                .filter(F.size("_ms") > 1))
     ms = F.col("_ms")
     n = F.size(ms)
 
+    # No sort_array over the bucket membership (round-5 verdict ask #3 /
+    # guide §2.3 — the per-bucket O(B log B) sort was pure overhead in
+    # the widest shuffle stage): positional i<j expansion already visits
+    # each unordered pair once, src/dst are canonicalized per pair with
+    # least/greatest (file_ids are unique within a bucket), and the star
+    # root is the bucket min via one O(B) array_min scan — bit-identical
+    # pair sets, one comparison sort less per bucket.
     def _pair(x, y, gen):
-        return F.struct(x["file_id"].alias("src"),
-                        y["file_id"].alias("dst"),
+        return F.struct(F.least(x["file_id"], y["file_id"]).alias("src"),
+                        F.greatest(x["file_id"], y["file_id"]).alias("dst"),
                         x["simhash"].alias("simhash_src"),
                         y["simhash"].alias("simhash_dst"),
                         gen.alias("gen"))
@@ -116,9 +122,9 @@ def candidate_pairs(sigs: DataFrame, cfg: DedupConfig) -> DataFrame:
                 F.slice(ms, i + F.lit(2), F.lit(cfg.band_pair_cap)),
                 lambda y: _pair(x, y, F.lit("allpairs"))))),
         _ham_ok)
-    root = F.element_at(ms, 1)
+    root = F.array_min(ms)
     star = F.filter(
-        F.transform(F.slice(ms, 2, n - 1),
+        F.transform(F.filter(ms, lambda y: y["file_id"] != root["file_id"]),
                     lambda y: _pair(root, y, F.lit("star"))),
         _ham_ok)
     pairs = F.when(n <= cfg.band_pair_cap, cross).otherwise(star)

@@ -111,7 +111,9 @@ def cosine_topk_vectorized(corpus: DataFrame, queries: DataFrame,
             yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n,
                                 "cos": out_c})
 
-    partial = corpus.select(id_col, vec_col).mapInPandas(score, schema)
+    from sparkdedup.sources.files import widen_narrow_scan
+    partial = widen_narrow_scan(
+        corpus.select(id_col, vec_col)).mapInPandas(score, schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
                                                F.asc("neighbor_id"))
     return (partial.filter(~F.isnan("cos") & (F.col("cos") != float("-inf")))

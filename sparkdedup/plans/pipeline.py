@@ -42,7 +42,8 @@ from sparkdedup.operators.exact import exact_edges
 from sparkdedup.operators.lsh import candidate_pairs, dedup_pairs
 from sparkdedup.operators.ranking import lower_quality, rank_clusters
 from sparkdedup.operators.verify import jaccard_edges
-from sparkdedup.sources.files import read_files, split_invalid
+from sparkdedup.sources.files import (read_files, split_invalid,
+                                      widen_narrow_scan)
 
 #: O23 progress reporting: difPy's console bar (dif.py:947-956) maps to
 #: the Spark UI plus these structured log lines and the stats document.
@@ -62,6 +63,7 @@ def build_signatures(spark: SparkSession, cfg: DedupConfig,
     if files is None:
         files = read_files(spark, cfg)
     valid, invalid = split_invalid(files, cfg)
+    valid = widen_narrow_scan(valid)
     sigs = with_signature(
         with_length_cols(with_sha256(with_file_id(valid))), cfg)
     return sigs.select(*SIGNATURE_COLS), invalid
@@ -318,27 +320,39 @@ def search_clusters(sigs: DataFrame, invalid: DataFrame,
     # inside the band-bucket expansion (operators/lsh.py), so the pairs
     # arrive narrow and pre-cut.
     if cfg.containment:
-        # The LSH-pair and containment-candidate materializations are
-        # INDEPENDENT eager jobs over the same cached reps (each ends
-        # in a localCheckpoint before the final edge DAG references it
-        # several times). Submit both from their own thread so the
-        # scheduler interleaves their stages: each job's stage tails
-        # (the straggling last tasks of a shuffle) leave idle slots the
-        # other job fills. Sequential submission measured ~54% executor
-        # occupancy across the edge-planning phase at local[8]/1.2M;
-        # overlap costs nothing at low parallelism (the scheduler just
-        # queues) and lifts occupancy exactly where spare slots exist.
-        # Session-level job submission is thread-safe; both closures
-        # only read the already-materialized sigs/reps caches.
-        with ThreadPoolExecutor(max_workers=2) as pool:
+        # The exact, LSH-near and containment edge branches are
+        # INDEPENDENT given the materialized sigs/reps caches. Each
+        # thread runs its branch TO COMPLETION — through the verify
+        # stage — and lands the finished edge rows in an eager
+        # localCheckpoint, so the Python-heavy suffix-array verify
+        # overlaps the JVM Jaccard verify and the exact-group
+        # aggregation instead of all three serializing inside the
+        # edge-merge action (guide §2.6; round 6 measured the serial
+        # shape: verify+SA+merge 1.2 s of the 4.6 s q3 wall at sf0.1).
+        # Sequential submission also measured ~54% executor occupancy
+        # across the edge-planning phase at local[8]/1.2M — overlap
+        # costs nothing at low parallelism (the scheduler just queues)
+        # and lifts occupancy exactly where spare slots exist. The
+        # checkpointed rows are narrow edge tuples (ids + dist + kind),
+        # linear in the match count at any scale. Session-level job
+        # submission is thread-safe; all closures only read the
+        # already-materialized sigs/reps caches.
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_exact = pool.submit(
+                lambda: edges.localCheckpoint(eager=True))
             f_near = pool.submit(
                 lambda: jaccard_edges(
-                    dedup_pairs(candidate_pairs(reps, cfg)), reps, cfg))
+                    dedup_pairs(candidate_pairs(reps, cfg)), reps, cfg)
+                .localCheckpoint(eager=True))
             # containment_edges manages its own transient storage (eager
             # localCheckpoint + internal unpersist) — nothing to release
-            f_cont = pool.submit(containment_edges, reps, cfg)
+            f_cont = pool.submit(
+                lambda: containment_edges(reps, cfg)
+                .withColumn("gen", F.lit("contain"))
+                .localCheckpoint(eager=True))
+            edges = f_exact.result()
             near = f_near.result()
-            cont = f_cont.result().withColumn("gen", F.lit("contain"))
+            cont = f_cont.result()
         edges = edges.unionByName(near).unionByName(cont)
     else:
         near = jaccard_edges(dedup_pairs(candidate_pairs(reps, cfg)),

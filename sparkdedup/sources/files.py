@@ -59,6 +59,26 @@ def read_files(spark: SparkSession, cfg: DedupConfig) -> DataFrame:
     return out
 
 
+def widen_narrow_scan(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to cluster parallelism when the source
+    scan has fewer partitions than cores — and ONLY then.
+
+    A single-row-group parquet file is one unsplittable scan task no
+    matter what ``maxPartitionBytes`` says, so every per-row stage
+    downstream of it (sha256, the featurize UDF, and — because the
+    signature table is persisted with this partitioning — the map side
+    of every later shuffle) runs on ONE core. One cheap shuffle of the
+    raw rows right after the read fixes the whole DAG's parallelism.
+    Scale guard: a source wide enough to produce >= defaultParallelism
+    partitions is left untouched, so nothing is ever narrowed and the
+    big case pays no extra shuffle. Row-level results are partitioning-
+    independent (file_id is a content/path hash, not positional)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _ext_col() -> F.Column:
     return F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
 
