@@ -111,9 +111,12 @@ def cosine_topk_vectorized(corpus: DataFrame, queries: DataFrame,
             yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n,
                                 "cos": out_c})
 
-    from sparkdedup.sources.files import widen_narrow_scan
-    partial = widen_narrow_scan(
-        corpus.select(id_col, vec_col)).mapInPandas(score, schema)
+    # NOT widened on purpose (round 6): the per-batch BLAS matmul is
+    # microseconds of compute per thousand vectors, so splitting a
+    # narrow corpus across workers pays an exchange + a task wave for
+    # nothing — measured +0.25-0.9 s on q4 at sf0.1 when tried, while a
+    # genuinely large corpus arrives with many scan partitions anyway.
+    partial = corpus.select(id_col, vec_col).mapInPandas(score, schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
                                                F.asc("neighbor_id"))
     return (partial.filter(~F.isnan("cos") & (F.col("cos") != float("-inf")))

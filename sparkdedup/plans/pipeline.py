@@ -320,39 +320,34 @@ def search_clusters(sigs: DataFrame, invalid: DataFrame,
     # inside the band-bucket expansion (operators/lsh.py), so the pairs
     # arrive narrow and pre-cut.
     if cfg.containment:
-        # The exact, LSH-near and containment edge branches are
-        # INDEPENDENT given the materialized sigs/reps caches. Each
-        # thread runs its branch TO COMPLETION — through the verify
-        # stage — and lands the finished edge rows in an eager
-        # localCheckpoint, so the Python-heavy suffix-array verify
-        # overlaps the JVM Jaccard verify and the exact-group
-        # aggregation instead of all three serializing inside the
-        # edge-merge action (guide §2.6; round 6 measured the serial
-        # shape: verify+SA+merge 1.2 s of the 4.6 s q3 wall at sf0.1).
-        # Sequential submission also measured ~54% executor occupancy
-        # across the edge-planning phase at local[8]/1.2M — overlap
-        # costs nothing at low parallelism (the scheduler just queues)
-        # and lifts occupancy exactly where spare slots exist. The
-        # checkpointed rows are narrow edge tuples (ids + dist + kind),
-        # linear in the match count at any scale. Session-level job
-        # submission is thread-safe; all closures only read the
+        # The LSH-pair and containment-candidate materializations are
+        # INDEPENDENT eager jobs over the same cached reps (each ends
+        # in a localCheckpoint before the final edge DAG references it
+        # several times). Submit both from their own thread so the
+        # scheduler interleaves their stages: each job's stage tails
+        # (the straggling last tasks of a shuffle) leave idle slots the
+        # other job fills. Sequential submission measured ~54% executor
+        # occupancy across the edge-planning phase at local[8]/1.2M;
+        # overlap costs nothing at low parallelism (the scheduler just
+        # queues) and lifts occupancy exactly where spare slots exist.
+        # The verify stages themselves stay LAZY here on purpose: the
+        # edge-merge action below runs the exact, Jaccard-verify and
+        # SA-verify subtrees as independent stages of ONE job, which
+        # the scheduler already overlaps — a round-6 variant that
+        # eagerly checkpointed each verified branch in its own thread
+        # measured +0.9 s at sf0.1 (three extra job barriers) and a
+        # wash at 1.2M, so it was reverted. Session-level job
+        # submission is thread-safe; both closures only read the
         # already-materialized sigs/reps caches.
-        with ThreadPoolExecutor(max_workers=3) as pool:
-            f_exact = pool.submit(
-                lambda: edges.localCheckpoint(eager=True))
+        with ThreadPoolExecutor(max_workers=2) as pool:
             f_near = pool.submit(
                 lambda: jaccard_edges(
-                    dedup_pairs(candidate_pairs(reps, cfg)), reps, cfg)
-                .localCheckpoint(eager=True))
+                    dedup_pairs(candidate_pairs(reps, cfg)), reps, cfg))
             # containment_edges manages its own transient storage (eager
             # localCheckpoint + internal unpersist) — nothing to release
-            f_cont = pool.submit(
-                lambda: containment_edges(reps, cfg)
-                .withColumn("gen", F.lit("contain"))
-                .localCheckpoint(eager=True))
-            edges = f_exact.result()
+            f_cont = pool.submit(containment_edges, reps, cfg)
             near = f_near.result()
-            cont = f_cont.result()
+            cont = f_cont.result().withColumn("gen", F.lit("contain"))
         edges = edges.unionByName(near).unionByName(cont)
     else:
         near = jaccard_edges(dedup_pairs(candidate_pairs(reps, cfg)),
