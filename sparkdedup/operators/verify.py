@@ -29,8 +29,11 @@ def hamming_filter(pairs: DataFrame, cfg: DedupConfig) -> DataFrame:
     ``simhash_src``/``simhash_dst`` columns. The batch LSH path applies
     this cut inside the band-bucket expansion (operators/lsh.py) and
     emits narrow pairs, so it no longer calls this."""
+    cut = cfg.effective_ham_cut
+    if cut is None:          # threshold above the measured cut regime
+        return pairs
     ham = F.bit_count(F.col("simhash_src").bitwiseXOR(F.col("simhash_dst")))
-    return pairs.filter(ham <= cfg.simhash_ham_max)
+    return pairs.filter(ham <= cut)
 
 
 def _lane_agree(a: str, b: str) -> F.Column:

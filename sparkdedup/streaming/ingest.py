@@ -312,13 +312,18 @@ def _near_dup_edges(spark: SparkSession, sigs: DataFrame, cfg: DedupConfig,
                          F.col("simhash").alias("b_sim"),
                          F.explode(members).alias("_m"),
                          gen.alias("gen"))
-                 .filter(F.col("b_id") != m["file_id"])
-                 .filter(F.bit_count(
-                     F.col("b_sim").bitwiseXOR(m["simhash"]))
-                     <= cfg.simhash_ham_max)
-                 .select(F.least("b_id", m["file_id"]).alias("src"),
-                         F.greatest("b_id", m["file_id"]).alias("dst"),
-                         "gen"))
+                 .filter(F.col("b_id") != m["file_id"]))
+        # threshold-coupled Hamming pre-cut, same contract as the batch
+        # band expansion (config.effective_ham_cut: disabled above the
+        # regime the constant was measured for)
+        cut = cfg.effective_ham_cut
+        if cut is not None:
+            cross = cross.filter(F.bit_count(
+                F.col("b_sim").bitwiseXOR(m["simhash"])) <= cut)
+        cross = cross.select(
+            F.least("b_id", m["file_id"]).alias("src"),
+            F.greatest("b_id", m["file_id"]).alias("dst"),
+            "gen")
         pairs = (within.unionByName(cross)
                  .groupBy("src", "dst").agg(F.min("gen").alias("gen")))
     else:
