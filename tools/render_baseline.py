@@ -192,17 +192,23 @@ bandwidth saturation point.
 {p832['featurize_stage']['speedup']:.2f}x, efficiency
 {p832['featurize_stage']['scaling_efficiency']:.3f}.** The shortfall
 is the single socket, not the plan: the same confined event-log
-profile at 1.2M measures **6963 total task-seconds at 32 threads vs
-1176 at 2 — 5.9x per-task CPU inflation** on identical shuffle bytes
-(7.5 GB) at 81% occupancy, and the featurize stage alone inflates
-3.85x (526 -> 2024 task-sec). The batched MinHash kernel is fast
+profile at 1.2M (round-5 session; static measured artifact) measures
+**6963 total task-seconds at 32 threads vs 1176 at 2 — 5.9x per-task
+CPU inflation** on identical shuffle bytes (7.5 GB) at 81% occupancy,
+and the featurize stage alone inflates 3.85x (526 -> 2024 task-sec).
+(Round 6 cut the unconfined-32-thread total to 3289 task-sec — see
+BENCH/profile_r06_head_1200000.txt — without changing this
+socket-saturation shape.) The batched MinHash kernel is fast
 enough that 32 threads saturate one socket's DRAM bandwidth and SMT
 sharing (the kernel control below — no Spark — shows the same
 ceiling). On a real 4N-executor cluster the added machines bring
 bandwidth in proportion, which is exactly what pair 1 models. The
-physical plans contain no serial collection points — the one driver
-crossing is connected components' per-round aggregated convergence
-fingerprint.
+physical plans contain no serial collection points — the driver
+crossings are connected components' per-round aggregated convergence
+fingerprint (distributed path) or, since round 6, one bounded
+limit-guarded Arrow collect of the edge list for graphs under the
+4M-edge cap (the broadcast-join move applied to CC; larger graphs
+never collect).
 
 Outputs are identical at every level and repeat (cluster and edge
 counts asserted equal — parallelism never changes results).
