@@ -19,9 +19,10 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
 BENCH = REPO / "BENCH"
-LEVELS = (8, 2, 32)
-N_FILES = 1_200_000
-PAIRS = [(2, 8), (8, 32)]
+sys.path.insert(0, str(REPO))
+# shared with the orchestrator so a constant change there can never
+# silently mix a different corpus/levels into appended repeats
+from tools.bench_scaling import LEVELS, N_FILES, PAIRS  # noqa: E402
 
 
 def one_leg(cpus: int) -> dict:
@@ -30,6 +31,9 @@ def one_leg(cpus: int) -> dict:
            "--run", str(cpus), str(N_FILES)]
     p = subprocess.run(cmd, capture_output=True, text=True,
                        cwd=str(REPO), timeout=5400)
+    if p.returncode != 0:
+        print(p.stderr, file=sys.stderr)
+        raise RuntimeError(f"leg local[{cpus}] failed (rc={p.returncode})")
     out = json.loads(p.stdout.strip().splitlines()[-1])
     print(out, flush=True)
     return out
